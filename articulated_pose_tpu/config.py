@@ -1,0 +1,137 @@
+"""Typed configuration.
+
+One dataclass subsumes the reference's three config mechanisms —
+argparse flags (reference: main.py:22-52), the YAML getter class
+(reference: lib/network_config.py:8-162 + cfg/network_config.yml) and the
+hardcoded registry (see registry.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import yaml
+
+from articulated_pose_tpu.registry import CategorySpec, get_category
+
+
+@dataclasses.dataclass
+class NetworkConfig:
+    """Training / model / loss configuration.
+
+    Defaults mirror cfg/network_config.yml of the reference.
+    """
+
+    # --- experiment identity -------------------------------------------------
+    nn_name: str = "ancsh"
+    category: str = "eyeglasses"
+    nocs_type: str = "ancsh"           # 'ancsh' (part+global NOCS) | 'npcs' (part only)
+    experiment_dir: str = "results"
+
+    # --- model ---------------------------------------------------------------
+    n_max_parts: int = 3               # reference cfg: n_max_parts: 3
+    num_points: int = 1024             # reference lib/dataset.py:35
+    pred_joint: bool = True
+    pred_joint_ind: bool = True
+    early_split: bool = True
+    early_split_nocs: bool = True
+    dropout_rate: float = 0.5          # reference keep_prob=0.5
+    # compute dtype for the backbone ('bfloat16' rides the MXU; params stay f32)
+    compute_dtype: str = "float32"
+    use_pallas: bool = True            # Pallas kernels for fps/ball-query when on TPU
+
+    # --- losses (reference cfg/network_config.yml:12-22,64) -------------------
+    miou_loss_multiplier: float = 1.0
+    nocs_loss_multiplier: float = 10.0
+    gocs_loss_multiplier: float = 1.0
+    offset_loss_multiplier: float = 5.0    # heatmap & unitvec
+    orient_loss_multiplier: float = 0.2
+    index_loss_multiplier: float = 1.0
+    total_loss_multiplier: float = 1.0
+    coord_regress_loss: str = "L2"     # 'L2' | 'Soft_L1' | 'L1'
+
+    # --- schedule (reference cfg:44-49) ---------------------------------------
+    batch_size: int = 16
+    n_epochs: int = 1000
+    init_learning_rate: float = 1e-3
+    decay_step: int = 200_000          # in samples (global_step * batch_size)
+    decay_rate: float = 0.7
+    bn_decay_step: int = 200_000
+    val_interval: int = 5000
+    snapshot_interval: int = 1000
+    val_prediction_n_keep: int = 2
+    writer_start_step: int = 100
+
+    # --- data ----------------------------------------------------------------
+    data_root: str = "data"
+    num_expr: str = "0.01"
+    train_data_add_noise: bool = True
+    fixed_order_val: bool = True
+    thres_r: float = 0.2               # joint-association radius (reference dataset.py:535)
+
+    # --- pose fitting (reference parallel_ancsh_pose.py:262,288) --------------
+    ransac_niter_part: int = 2048      # reference: 10000 serial CPU iters
+    ransac_niter_joint: int = 256      # reference: 200
+    ransac_inlier_th: float = 0.1
+    lm_iters: int = 20
+    use_gt_joint_association: bool = False   # reference evaluation/ uses GT assoc; we default honest
+
+    # --- parallelism ----------------------------------------------------------
+    mesh_shape: Optional[str] = None   # e.g. "data=4,model=2"; None = all-data mesh
+    seed: int = 0
+
+    # -------------------------------------------------------------------------
+    @property
+    def is_mixed(self) -> bool:
+        """ANCSH mode regresses part + global NOCS (reference lib/network.py:36-38)."""
+        return self.nocs_type == "ancsh"
+
+    @property
+    def category_spec(self) -> CategorySpec:
+        return get_category(self.category)
+
+    def replace(self, **kw) -> "NetworkConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def load_config(path: Optional[str] = None, **overrides) -> NetworkConfig:
+    """Load a NetworkConfig from YAML (flat mapping), applying overrides."""
+    fields = {}
+    if path is not None:
+        with open(path) as f:
+            fields.update(yaml.safe_load(f) or {})
+    fields.update(overrides)
+    known = {f.name for f in dataclasses.fields(NetworkConfig)}
+    unknown = set(fields) - known
+    if unknown:
+        raise ValueError(f"unknown config keys: {sorted(unknown)}")
+    cfg = NetworkConfig(**fields)
+    if cfg.nocs_type not in ("ancsh", "npcs"):
+        raise ValueError(f"nocs_type must be 'ancsh' or 'npcs', got {cfg.nocs_type!r}")
+    # mode presets (reference main.py:42-52): npcs disables the joint heads' use
+    if cfg.nocs_type == "npcs":
+        cfg = cfg.replace(pred_joint=False, pred_joint_ind=False)
+    return cfg
+
+
+def bn_momentum_schedule(step: int, batch_size: int, bn_decay_step: int):
+    """EMA momentum for batch-norm statistics.
+
+    The reference schedules tf.contrib batch_norm's ``decay`` as
+    min(0.99, 1 - 0.5 * 0.5^(step*B/bn_decay_step)) (reference:
+    lib/network.py:385-398).  Returns that decay (our BN's EMA momentum).
+    """
+    import jax.numpy as jnp
+
+    samples = step * batch_size
+    bn_momentum = 0.5 * jnp.power(0.5, jnp.floor(samples / bn_decay_step))
+    return jnp.minimum(0.99, 1.0 - bn_momentum)
+
+
+def lr_schedule(step, batch_size: int, init_lr: float, decay_step: int, decay_rate: float):
+    """Staircase exponential LR decay in units of samples (reference lib/network.py:400-407)."""
+    import jax.numpy as jnp
+
+    samples = step * batch_size
+    return init_lr * jnp.power(decay_rate, jnp.floor(samples / decay_step))

@@ -1,0 +1,160 @@
+"""Dataset / category registry.
+
+A typed replacement for the reference's hardcoded Python registry
+(reference: global_info.py:14-193).  Each category carries its part
+grouping (``parts_map``), unseen-instance test split, SAPIEN-style
+per-instance part reordering (``spec_map``), and joint types.
+
+Unlike the reference, the registry is plain data (dataclasses) and can be
+extended from YAML files at runtime instead of editing code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import yaml
+
+
+@dataclasses.dataclass(frozen=True)
+class CategorySpec:
+    """Per-category dataset specification.
+
+    Mirrors the fields of the reference ``DatasetInfo`` namedtuple
+    (reference: global_info.py:7-11) that the pipeline actually consumes.
+    """
+
+    name: str
+    dataset_name: str = "shape2motion"           # 'shape2motion' | 'sapien' | 'BMVC15'
+    parts_map: Sequence[Sequence[int]] = ((0,), (1,))
+    num_parts: int = 2
+    num_object: int = 0
+    train_size: int = 0
+    test_size: int = 0
+    # instance ids held out entirely (the "unseen" split)
+    test_list: Sequence[str] = ()
+    # instance ids with special handling
+    spec_list: Sequence[str] = ()
+    # SAPIEN-style per-instance part reordering (reference: lib/dataset.py:693-699)
+    spec_map: Optional[Dict[str, List[int]]] = None
+    # 'revolute' | 'prismatic' | 'fixed' per joint (joint j connects part j to its parent)
+    joint_types: Sequence[str] = ("revolute",)
+    exp: str = ""
+    baseline: str = ""
+    joint_baseline: str = ""
+    style: str = "new"
+
+    @property
+    def n_parts(self) -> int:
+        return len(self.parts_map)
+
+
+# The five categories shipped by the reference (reference: global_info.py:14-181).
+DATASETS: Dict[str, CategorySpec] = {
+    "eyeglasses": CategorySpec(
+        name="eyeglasses",
+        dataset_name="shape2motion",
+        num_object=24,
+        parts_map=((0,), (1,), (2,)),
+        num_parts=3,
+        train_size=13000,
+        test_size=3480,
+        test_list=("0007", "0016", "0036"),
+        spec_list=("0006",),
+        joint_types=("revolute", "revolute"),
+        exp="3.9",
+        baseline="3.91",
+        joint_baseline="5.0",
+    ),
+    "oven": CategorySpec(
+        name="oven",
+        dataset_name="shape2motion",
+        num_object=42,
+        parts_map=((0,), (1,)),
+        num_parts=2,
+        train_size=25000,
+        test_size=5480,
+        test_list=("0003", "0016", "0029"),
+        spec_list=("0006", "0015", "0035", "0038"),
+        joint_types=("revolute",),
+        exp="3.0",
+        baseline="3.01",
+        joint_baseline="5.2",
+        style="old",
+    ),
+    "laptop": CategorySpec(
+        name="laptop",
+        dataset_name="shape2motion",
+        num_object=86,
+        parts_map=((0,), (1,)),
+        num_parts=2,
+        train_size=67603,
+        test_size=5036,
+        test_list=("0004", "0008", "0069"),
+        spec_list=("0003", "0006", "0041", "0080", "0081"),
+        joint_types=("revolute",),
+        exp="3.6",
+        baseline="3.61",
+        joint_baseline="5.3",
+        style="old",
+    ),
+    "washing_machine": CategorySpec(
+        name="washing_machine",
+        dataset_name="shape2motion",
+        num_object=62,
+        parts_map=((0,), (1,)),
+        num_parts=2,
+        train_size=43000,
+        test_size=3480,
+        test_list=("0003", "0029", "0054"),
+        spec_list=(),
+        joint_types=("revolute",),
+        exp="3.3",
+        baseline="3.31",
+        joint_baseline="5.1",
+        style="old",
+    ),
+    "drawer": CategorySpec(
+        name="drawer",
+        dataset_name="sapien",
+        num_object=20,
+        parts_map=((0,), (1,), (2,), (3,)),
+        num_parts=4,
+        train_size=13000,
+        test_size=3480,
+        test_list=("45841",),
+        spec_list=(),
+        # base + 3 prismatic drawers (reference: lib/dataset.py:627-639)
+        joint_types=("fixed", "prismatic", "prismatic", "prismatic"),
+        exp="4.6",
+        baseline="4.61",
+        joint_baseline="5.4",
+    ),
+}
+
+
+def get_category(name: str) -> CategorySpec:
+    try:
+        return DATASETS[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown category {name!r}; known: {sorted(DATASETS)} "
+            "(register new ones with register_category / load_categories_yaml)"
+        ) from None
+
+
+def register_category(spec: CategorySpec) -> None:
+    DATASETS[spec.name] = spec
+
+
+def load_categories_yaml(path: str) -> None:
+    """Extend the registry from a YAML file of {name: {field: value}}."""
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    for name, fields in raw.items():
+        fields = dict(fields or {})
+        fields.setdefault("name", name)
+        if "parts_map" in fields:
+            fields["parts_map"] = tuple(tuple(g) for g in fields["parts_map"])
+        register_category(CategorySpec(**fields))
