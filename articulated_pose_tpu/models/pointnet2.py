@@ -1,0 +1,200 @@
+"""PointNet++ set-abstraction / feature-propagation backbone.
+
+TPU-native rebuild of the reference backbone (reference:
+pointnet_plusplus/utils/pointnet_util.py:29-236,
+pointnet_plusplus/architectures.py:56-95).  All grouping indices come
+from articulated_pose_tpu.ops; the per-neighborhood MLPs are pointwise
+matmuls batched as (B·M·S, C) on the MXU, and the whole backbone traces
+into one XLA program (the reference bounced to CPU for three_nn every
+layer, tf_interpolate.cpp:187).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from articulated_pose_tpu import ops
+from articulated_pose_tpu.models.layers import PointConv, SharedMLP
+
+Dtype = Any
+
+
+def sample_and_group(npoint: int, radius: float, nsample: int,
+                     xyz: jax.Array, points: Optional[jax.Array],
+                     knn: bool = False, use_xyz: bool = True):
+    """FPS → gather → ball-query/knn → group → center-normalize.
+
+    Mirrors pointnet_util.py:29-63. xyz (B, N, 3), points (B, N, C) or None.
+    Returns (new_xyz (B,M,3), new_points (B,M,S,3+C), idx, grouped_xyz).
+    """
+    fps_idx = ops.farthest_point_sample(npoint, xyz)
+    new_xyz = ops.gather_point(xyz, fps_idx)                    # (B, M, 3)
+    if knn:
+        _, idx = ops.knn_point(nsample, xyz, new_xyz)
+    else:
+        idx, _ = ops.query_ball_point(radius, nsample, xyz, new_xyz)
+    grouped_xyz = ops.group_point(xyz, idx)                     # (B, M, S, 3)
+    grouped_xyz = grouped_xyz - new_xyz[:, :, None, :]          # translation normalize
+    if points is not None:
+        grouped_points = ops.group_point(points, idx)
+        new_points = (jnp.concatenate([grouped_xyz, grouped_points], axis=-1)
+                      if use_xyz else grouped_points)
+    else:
+        new_points = grouped_xyz
+    return new_xyz, new_points, idx, grouped_xyz
+
+
+def sample_and_group_all(xyz: jax.Array, points: Optional[jax.Array],
+                         use_xyz: bool = True):
+    """Single global group (pointnet_util.py:66-91)."""
+    B, N, _ = xyz.shape
+    new_xyz = jnp.zeros((B, 1, 3), xyz.dtype)
+    grouped_xyz = xyz[:, None, :, :]                            # (B, 1, N, 3)
+    if points is not None:
+        new_points = (jnp.concatenate([xyz, points], axis=-1)
+                      if use_xyz else points)[:, None]
+    else:
+        new_points = grouped_xyz
+    return new_xyz, new_points, None, grouped_xyz
+
+
+class SetAbstraction(nn.Module):
+    """SA module: sample+group, per-neighborhood shared MLP, pool.
+
+    Mirrors pointnet_util.py:94-161 (max pooling path).
+    """
+
+    npoint: Optional[int]
+    radius: Optional[float]
+    nsample: Optional[int]
+    mlp: Sequence[int]
+    group_all: bool = False
+    pooling: str = "max"
+    knn: bool = False
+    use_xyz: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz, points, *, train: bool = False, bn_momentum=0.9):
+        if self.group_all:
+            new_xyz, new_points, idx, grouped_xyz = sample_and_group_all(
+                xyz, points, self.use_xyz)
+        else:
+            new_xyz, new_points, idx, grouped_xyz = sample_and_group(
+                self.npoint, self.radius, self.nsample, xyz, points,
+                self.knn, self.use_xyz)
+
+        new_points = SharedMLP(self.mlp, dtype=self.dtype, name="mlp")(
+            new_points, train=train, bn_momentum=bn_momentum)   # (B, M, S, C)
+
+        if self.pooling == "max":
+            new_points = jnp.max(new_points, axis=2)
+        elif self.pooling == "avg":
+            new_points = jnp.mean(new_points, axis=2)
+        elif self.pooling == "weighted_avg":
+            dists = jnp.linalg.norm(grouped_xyz, axis=-1, keepdims=True)
+            w = jax.nn.softmax(-dists * 5.0, axis=2)
+            new_points = jnp.sum(new_points * w, axis=2)
+        else:
+            raise ValueError(f"unknown pooling {self.pooling!r}")
+        return new_xyz, new_points, idx
+
+
+class FeaturePropagation(nn.Module):
+    """FP module: 3-NN inverse-distance interpolation + skip concat + MLP.
+
+    Mirrors pointnet_util.py:206-236.
+    """
+
+    mlp: Sequence[int]
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz1, xyz2, points1, points2, *, train: bool = False,
+                 bn_momentum=0.9):
+        if xyz2.shape[1] == 1:
+            # interpolating from a single global point: copy it everywhere
+            interp = jnp.broadcast_to(
+                points2, (points2.shape[0], xyz1.shape[1], points2.shape[2]))
+        else:
+            dist, idx = ops.three_nn(xyz1, xyz2)
+            weight = ops.interp_weights(dist)
+            interp = ops.three_interpolate(points2, idx, weight)
+        if points1 is not None:
+            interp = jnp.concatenate([interp, points1], axis=-1)
+        return SharedMLP(self.mlp, dtype=self.dtype, name="mlp")(
+            interp, train=train, bn_momentum=bn_momentum)
+
+
+@dataclasses.dataclass(frozen=True)
+class BackboneSpec:
+    """Stage widths; defaults mirror architectures.py:62-93 exactly."""
+
+    sa_npoints: Tuple[int, ...] = (512, 128)
+    sa_radii: Tuple[float, ...] = (0.2, 0.4)
+    sa_nsamples: Tuple[int, ...] = (64, 64)
+    sa_mlps: Tuple[Tuple[int, ...], ...] = ((64, 64, 128), (128, 128, 256))
+    global_mlp: Tuple[int, ...] = (256, 512, 1024)
+    fp_mlps: Tuple[Tuple[int, ...], ...] = ((256, 256), (256, 128), (128, 128, 128))
+    head_width: int = 128
+    dropout_rate: float = 0.5
+
+
+class PointNet2Backbone(nn.Module):
+    """Shared segmentation backbone (architectures.py:56-95).
+
+    Input: point cloud (B, N, 3(+C)).  Output: per-point feature (B, N, 128).
+    """
+
+    spec: BackboneSpec = BackboneSpec()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, X, *, train: bool = False, bn_momentum=0.9):
+        s = self.spec
+        l_xyz = [X[..., :3].astype(jnp.float32)]
+        l_pts = [X[..., 3:] if X.shape[-1] > 3 else None]
+
+        # Set abstraction pyramid
+        for i in range(len(s.sa_npoints)):
+            xyz, pts, _ = SetAbstraction(
+                npoint=s.sa_npoints[i], radius=s.sa_radii[i],
+                nsample=s.sa_nsamples[i], mlp=s.sa_mlps[i],
+                dtype=self.dtype, name=f"sa{i + 1}",
+            )(l_xyz[-1], l_pts[-1], train=train, bn_momentum=bn_momentum)
+            l_xyz.append(xyz)
+            l_pts.append(pts)
+
+        xyz, pts, _ = SetAbstraction(
+            npoint=None, radius=None, nsample=None, mlp=s.global_mlp,
+            group_all=True, dtype=self.dtype, name="sa_global",
+        )(l_xyz[-1], l_pts[-1], train=train, bn_momentum=bn_momentum)
+        l_xyz.append(xyz)
+        l_pts.append(pts)
+
+        # Feature propagation back to full resolution; the final FP's skip
+        # connection concatenates raw xyz with input features
+        # (architectures.py:84-86).
+        n_levels = len(l_xyz)
+        feats = l_pts[-1]
+        for i, fp_mlp in enumerate(s.fp_mlps):
+            lvl = n_levels - 2 - i
+            skip = l_pts[lvl]
+            if lvl == 0:
+                skip = (l_xyz[0] if skip is None
+                        else jnp.concatenate([l_xyz[0], skip], axis=-1))
+            feats = FeaturePropagation(fp_mlp, dtype=self.dtype, name=f"fp{i + 1}")(
+                l_xyz[lvl], l_xyz[lvl + 1], skip, feats,
+                train=train, bn_momentum=bn_momentum)
+
+        # FC head: conv1d(128, bn) + dropout (architectures.py:89-93)
+        feats = PointConv(s.head_width, use_bn=True, dtype=self.dtype, name="fc1")(
+            feats, train=train, bn_momentum=bn_momentum)
+        feats = nn.Dropout(rate=s.dropout_rate, deterministic=not train,
+                           name="dp1")(feats)
+        return feats

@@ -1,0 +1,122 @@
+"""Model-level tests: shapes, jit-compilability, BN/dropout behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from articulated_pose_tpu.config import NetworkConfig
+from articulated_pose_tpu.models.ancsh import ANCSHModel, build_model
+from articulated_pose_tpu.models.pointnet2 import (
+    BackboneSpec,
+    PointNet2Backbone,
+    sample_and_group,
+)
+
+TINY = BackboneSpec(
+    sa_npoints=(32, 16), sa_radii=(0.2, 0.4), sa_nsamples=(8, 8),
+    sa_mlps=((8, 16), (16, 32)), global_mlp=(32, 64),
+    fp_mlps=((32,), (32,), (16, 16)), head_width=16,
+)
+
+
+def cloud(B=2, N=64, seed=0):
+    return jnp.asarray(np.random.RandomState(seed).rand(B, N, 3), jnp.float32)
+
+
+class TestBackbone:
+    def test_shapes_and_jit(self):
+        model = PointNet2Backbone(TINY)
+        P = cloud()
+        params = model.init(jax.random.PRNGKey(0), P)
+        feat = jax.jit(lambda p, x: model.apply(p, x))(params, P)
+        assert feat.shape == (2, 64, 16)
+        assert jnp.isfinite(feat).all()
+
+    def test_sample_and_group_shapes(self):
+        P = cloud(B=1, N=32)
+        new_xyz, new_points, idx, grouped = sample_and_group(8, 0.3, 4, P, None)
+        assert new_xyz.shape == (1, 8, 3)
+        assert new_points.shape == (1, 8, 4, 3)
+        # grouped xyz are centered on the sampled point
+        self_rows = np.asarray(grouped)[0, :, 0]
+        assert np.abs(self_rows).max() < 0.3
+
+    def test_batch_stats_update(self):
+        model = PointNet2Backbone(TINY)
+        P = cloud()
+        variables = model.init(jax.random.PRNGKey(0), P)
+        out, new_vars = model.apply(
+            variables, P, train=True, bn_momentum=0.5,
+            rngs={"dropout": jax.random.PRNGKey(1)},
+            mutable=["batch_stats"])
+        before = jax.tree.leaves(variables["batch_stats"])
+        after = jax.tree.leaves(new_vars["batch_stats"])
+        changed = any(not np.allclose(b, a) for b, a in zip(before, after))
+        assert changed
+
+
+class TestANCSH:
+    @pytest.mark.parametrize("mixed,pred_joint", [(True, True), (False, False)])
+    def test_heads(self, mixed, pred_joint):
+        K = 3
+        model = ANCSHModel(n_max_parts=K, mixed=mixed, pred_joint=pred_joint,
+                           backbone_spec=TINY)
+        P = cloud()
+        params = model.init(jax.random.PRNGKey(0), P)
+        pred = jax.jit(lambda p, x: model.apply(p, x))(params, P)
+        B, N = 2, 64
+        assert pred["W"].shape == (B, N, K)
+        np.testing.assert_allclose(np.asarray(jnp.sum(pred["W"], -1)), 1.0, rtol=1e-5)
+        assert pred["nocs_per_point"].shape == (B, N, 3 * K)
+        assert (np.asarray(pred["nocs_per_point"]) >= 0).all()
+        assert (np.asarray(pred["nocs_per_point"]) <= 1).all()
+        assert pred["confi_per_point"].shape == (B, N, 1)
+        if mixed:
+            assert pred["gocs_per_point"].shape == (B, N, 3 * K)
+            # gocs = nocs * repeat(scale,3) + trans
+            got = np.asarray(pred["gocs_per_point"])
+            want = (np.asarray(pred["nocs_per_point"])
+                    * np.repeat(np.asarray(pred["global_scale"]), 3, axis=-1)
+                    + np.asarray(pred["global_translation"]))
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        if pred_joint:
+            assert pred["joint_axis_per_point"].shape == (B, N, 3)
+            assert pred["heatmap_per_point"].shape == (B, N, 1)
+            assert pred["index_per_point"].shape == (B, N, K)
+            hm = np.asarray(pred["heatmap_per_point"])
+            assert (hm >= 0).all() and (hm <= 1).all()
+
+    def test_build_from_config(self):
+        cfg = NetworkConfig(n_max_parts=2, nocs_type="npcs", pred_joint=False)
+        model = build_model(cfg)
+        assert model.n_max_parts == 2 and not model.mixed
+
+    def test_dropout_stochastic_in_train(self):
+        model = ANCSHModel(n_max_parts=2, mixed=False, pred_joint=False,
+                           backbone_spec=TINY)
+        P = cloud()
+        variables = model.init(jax.random.PRNGKey(0), P)
+
+        def fwd(key):
+            out, _ = model.apply(variables, P, train=True, bn_momentum=0.9,
+                                 rngs={"dropout": key}, mutable=["batch_stats"])
+            return np.asarray(out["nocs_per_point"])
+
+        a = fwd(jax.random.PRNGKey(1))
+        b = fwd(jax.random.PRNGKey(2))
+        assert not np.allclose(a, b)
+        # eval mode is deterministic
+        e1 = np.asarray(model.apply(variables, P)["nocs_per_point"])
+        e2 = np.asarray(model.apply(variables, P)["nocs_per_point"])
+        np.testing.assert_array_equal(e1, e2)
+
+    def test_bf16_compute(self):
+        model = ANCSHModel(n_max_parts=2, mixed=True, pred_joint=True,
+                           backbone_spec=TINY, dtype=jnp.bfloat16)
+        P = cloud()
+        params = model.init(jax.random.PRNGKey(0), P)
+        pred = model.apply(params, P)
+        # heads emit f32 regardless of compute dtype
+        assert pred["W"].dtype == jnp.float32
+        assert jnp.isfinite(pred["nocs_per_point"]).all()
