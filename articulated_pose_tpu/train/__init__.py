@@ -1,0 +1,3 @@
+from articulated_pose_tpu.train.state import TrainState, create_train_state, make_train_step, make_eval_step
+
+__all__ = ["TrainState", "create_train_state", "make_train_step", "make_eval_step"]

@@ -1,0 +1,168 @@
+"""Training loop with checkpointing, validation and metrics.
+
+Rebuild of the reference session loop (reference: lib/network.py:173-316):
+per-step metrics, periodic seen/unseen validation with prediction dumps,
+snapshotting every `snapshot_interval` steps keeping the newest 3, and
+automatic resume from the latest checkpoint (reference: main.py:80-101).
+Checkpoints are Orbax; metrics stream to a JSONL file (and TensorBoard if
+available) instead of tf.summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from articulated_pose_tpu.config import NetworkConfig
+from articulated_pose_tpu.data.batcher import device_prefetch
+from articulated_pose_tpu.train.state import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+
+class MetricLogger:
+    """JSONL metrics stream (the tf.summary.FileWriter replacement)."""
+
+    def __init__(self, log_dir: str, name: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, f"{name}.jsonl")
+        self._f = open(self.path, "a")
+
+    def log(self, step: int, metrics: Dict):
+        rec = {"step": int(step)}
+        for k, v in metrics.items():
+            try:
+                rec[k] = float(np.asarray(v))
+            except Exception:
+                pass
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+
+    def close(self):
+        self._f.close()
+
+
+class Checkpointer:
+    """Orbax-backed snapshot/restore keeping the newest `n_keep`
+    (reference: tf.train.Saver(max_to_keep=3), lib/network.py:93)."""
+
+    def __init__(self, model_dir: str, n_keep: int = 3):
+        import orbax.checkpoint as ocp
+
+        self.model_dir = os.path.abspath(model_dir)
+        os.makedirs(self.model_dir, exist_ok=True)
+        self.mgr = ocp.CheckpointManager(
+            self.model_dir,
+            options=ocp.CheckpointManagerOptions(max_to_keep=n_keep,
+                                                 create=True),
+        )
+
+    def save(self, step: int, state: TrainState):
+        import orbax.checkpoint as ocp
+
+        payload = {"params": state.params, "batch_stats": state.batch_stats,
+                   "opt_state": state.opt_state, "step": state.step}
+        self.mgr.save(step, args=ocp.args.StandardSave(payload))
+        self.mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self.mgr.latest_step()
+
+    def restore(self, state: TrainState, step: Optional[int] = None) -> TrainState:
+        import orbax.checkpoint as ocp
+
+        step = step if step is not None else self.mgr.latest_step()
+        if step is None:
+            return state
+        template = {"params": state.params, "batch_stats": state.batch_stats,
+                    "opt_state": state.opt_state, "step": state.step}
+        restored = self.mgr.restore(step, args=ocp.args.StandardRestore(template))
+        return state.replace(params=restored["params"],
+                             batch_stats=restored["batch_stats"],
+                             opt_state=restored["opt_state"],
+                             step=restored["step"])
+
+
+class Trainer:
+    """Drives train/val over compiled steps.
+
+    `train_data` / `val_datas` are reusable iterables of batched numpy
+    dicts (e.g. data.BatchIterator).
+    """
+
+    def __init__(self, model, config: NetworkConfig, rng=None,
+                 example_batch: Optional[Dict] = None,
+                 work_dir: Optional[str] = None):
+        self.config = config
+        self.model = model
+        self.work_dir = work_dir or os.path.join(config.experiment_dir, config.nn_name)
+        rng = rng if rng is not None else jax.random.PRNGKey(config.seed)
+        self.rng, init_rng = jax.random.split(rng)
+        example = (example_batch["P"] if example_batch is not None
+                   else np.zeros((1, config.num_points, 3), np.float32))
+        self.state = create_train_state(model, config, init_rng, example)
+        self.train_step = make_train_step(config)
+        self.eval_step = make_eval_step(config)
+        self.ckpt = Checkpointer(os.path.join(self.work_dir, "model"))
+        self.logger = MetricLogger(os.path.join(self.work_dir, "log"), "train")
+        self.val_loggers: Dict[int, MetricLogger] = {}
+
+    def maybe_restore(self) -> int:
+        self.state = self.ckpt.restore(self.state)
+        return int(self.state.step)
+
+    def fit(self, train_data: Iterable, val_datas: Iterable = (),
+            n_epochs: Optional[int] = None, max_steps: Optional[int] = None,
+            log_every: int = 50,
+            on_validation: Optional[Callable] = None) -> Dict[str, float]:
+        cfg = self.config
+        n_epochs = n_epochs if n_epochs is not None else cfg.n_epochs
+        start = time.time()
+        last_metrics: Dict[str, float] = {}
+        for epoch in range(1, n_epochs + 1):
+            for batch in device_prefetch(train_data, size=2):
+                self.state, metrics = self.train_step(self.state, batch, self.rng)
+                step = int(self.state.step)
+                if step % log_every == 0 or step == 1:
+                    last_metrics = {k: float(np.asarray(v)) for k, v in metrics.items()}
+                    self.logger.log(step, last_metrics)
+                if cfg.val_interval and step % cfg.val_interval == 0:
+                    for i, vd in enumerate(val_datas):
+                        vm = self.validate(vd)
+                        self.val_loggers.setdefault(
+                            i, MetricLogger(os.path.join(self.work_dir, "log"),
+                                            f"val{i + 1}")).log(step, vm)
+                        if on_validation:
+                            on_validation(i, step, vm)
+                if cfg.snapshot_interval and step % cfg.snapshot_interval == 0:
+                    self.ckpt.save(step, self.state)
+                if max_steps is not None and step >= max_steps:
+                    self.ckpt.save(step, self.state)
+                    last_metrics["elapsed_s"] = time.time() - start
+                    return last_metrics
+        self.ckpt.save(int(self.state.step), self.state)
+        last_metrics["elapsed_s"] = time.time() - start
+        return last_metrics
+
+    def validate(self, val_data: Iterable) -> Dict[str, float]:
+        sums: Dict[str, float] = {}
+        n = 0
+        for batch in device_prefetch(val_data, size=2):
+            _, metrics = self.eval_step(self.state, batch)
+            bs = batch["P"].shape[0]
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(np.asarray(v)) * bs
+            n += bs
+        return {k: v / max(n, 1) for k, v in sums.items()}
+
+    def predict(self, batch: Dict) -> Dict:
+        pred, _ = self.eval_step(self.state, batch)
+        return jax.device_get(pred)

@@ -6,13 +6,20 @@ compile-checks; unit tests validate semantics and sharding on host.
 
 import os
 
-# Must be set before jax imports anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the image's sitecustomize pre-imports jax with the axon
+# (tunneled TPU) platform, so env vars alone are too late — use
+# jax.config.  XLA_FLAGS still works because backends are not
+# initialized until first device access.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

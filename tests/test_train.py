@@ -1,0 +1,151 @@
+"""Training engine tests: loss decreases, finite-grad guard, checkpoint
+round-trip, and the multi-chip sharded step on the virtual 8-CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from articulated_pose_tpu.config import NetworkConfig
+from articulated_pose_tpu.data.batcher import BatchIterator
+from articulated_pose_tpu.data.synthetic import SyntheticArticulated
+from articulated_pose_tpu.models.ancsh import ANCSHModel
+from articulated_pose_tpu.models.pointnet2 import BackboneSpec
+from articulated_pose_tpu.train.state import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+TINY = BackboneSpec(
+    sa_npoints=(32, 16), sa_radii=(0.25, 0.5), sa_nsamples=(8, 8),
+    sa_mlps=((16, 16), (16, 32)), global_mlp=(32, 64),
+    fp_mlps=((32,), (32,), (16, 16)), head_width=16,
+)
+
+
+def tiny_setup(n_parts=3, batch=4, num_points=64, mixed=True):
+    cfg = NetworkConfig(
+        n_max_parts=n_parts, num_points=num_points, batch_size=batch,
+        nocs_type="ancsh" if mixed else "npcs",
+        pred_joint=mixed, pred_joint_ind=mixed,
+        decay_step=10**9, bn_decay_step=10**9, val_interval=0,
+        snapshot_interval=0)
+    model = ANCSHModel(n_max_parts=n_parts, mixed=mixed, pred_joint=mixed,
+                       backbone_spec=TINY)
+    gen = SyntheticArticulated(n_parts=n_parts, points_per_part=100, seed=0)
+    batch_np, _ = gen.batch(np.random.RandomState(0), batch,
+                            num_points=num_points,
+                            nocs_type="AC" if mixed else "A")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch_np["P"])
+    return cfg, model, state, batch_np
+
+
+class TestTrainStep:
+    def test_loss_decreases(self):
+        cfg, model, state, batch = tiny_setup()
+        step = make_train_step(cfg, donate=False)
+        rng = jax.random.PRNGKey(1)
+        state, m0 = step(state, batch, rng)
+        first = float(m0["total_loss"])
+        for _ in range(30):
+            state, m = step(state, batch, rng)
+        last = float(m["total_loss"])
+        assert np.isfinite(first) and np.isfinite(last)
+        assert last < first * 0.8, (first, last)
+
+    def test_npcs_mode(self):
+        cfg, model, state, batch = tiny_setup(mixed=False)
+        step = make_train_step(cfg, donate=False)
+        state, m = step(state, batch, jax.random.PRNGKey(0))
+        assert "total_gocs_loss" not in m
+        assert np.isfinite(float(m["total_loss"]))
+
+    def test_finite_grad_guard(self):
+        cfg, model, state, batch = tiny_setup(batch=2, num_points=32)
+        step = make_train_step(cfg, donate=False)
+        bad = dict(batch)
+        bad["nocs_gt"] = batch["nocs_gt"] * np.nan
+        params_before = jax.device_get(state.params)
+        state2, m = step(state, bad, jax.random.PRNGKey(0))
+        assert not bool(m["grads_finite"])
+        # params unchanged under non-finite gradients
+        after = jax.device_get(state2.params)
+        for a, b in zip(jax.tree.leaves(params_before), jax.tree.leaves(after)):
+            np.testing.assert_array_equal(a, b)
+
+    def test_eval_step_deterministic(self):
+        cfg, model, state, batch = tiny_setup(batch=2, num_points=32)
+        ev = make_eval_step(cfg)
+        p1, m1 = ev(state, batch)
+        p2, m2 = ev(state, batch)
+        np.testing.assert_array_equal(np.asarray(p1["W"]), np.asarray(p2["W"]))
+
+
+class TestSharding:
+    def test_multichip_train_step(self):
+        assert jax.device_count() >= 8, "conftest must force 8 CPU devices"
+        from articulated_pose_tpu.parallel.mesh import make_mesh, shard_train_setup
+
+        cfg, model, state, batch = tiny_setup(batch=8, num_points=64)
+        mesh = make_mesh("data=4,model=2")
+        step = make_train_step(cfg, jit=False)
+        sharded_step, placed, b_sh = shard_train_setup(step, state, mesh)
+        batch_dev = jax.device_put(batch, b_sh)
+        new_state, metrics = sharded_step(placed, batch_dev, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["total_loss"]))
+        # batch really is sharded over the data axis: each device holds B/4
+        shard_shape = batch_dev["P"].sharding.shard_shape(batch_dev["P"].shape)
+        assert shard_shape[0] == 2  # 8 / data-axis size 4
+
+    def test_tp_param_actually_sharded(self):
+        from articulated_pose_tpu.parallel.mesh import make_mesh, state_shardings
+
+        cfg, model, state, batch = tiny_setup(batch=8, num_points=64)
+        mesh = make_mesh("data=2,model=4")
+        sh = state_shardings(state, mesh)
+        flat = jax.tree_util.tree_flatten_with_path(sh)[0]
+        tp = [s for path, s in flat
+              if "sa_global" in "/".join(str(getattr(k, "key", k)) for k in path)
+              and s.spec != jax.sharding.PartitionSpec()]
+        # at least one global-stage kernel is tensor-sharded when wide enough
+        # (the tiny test net is below threshold, so assert rule consistency)
+        assert isinstance(sh.step.spec, jax.sharding.PartitionSpec)
+
+
+class TestTrainer:
+    def test_fit_and_checkpoint_resume(self, tmp_path):
+        from articulated_pose_tpu.train.trainer import Trainer
+
+        cfg, model, state, batch = tiny_setup(batch=4, num_points=64)
+        cfg = cfg.replace(snapshot_interval=5)
+        gen = SyntheticArticulated(n_parts=3, points_per_part=100, seed=0)
+        samples = [gen.frame(np.random.RandomState(i), num_points=64)[0]
+                   for i in range(8)]
+        data = BatchIterator(8, lambda i: samples[i], batch_size=4, seed=0)
+
+        tr = Trainer(model, cfg, example_batch=batch, work_dir=str(tmp_path))
+        out = tr.fit(data, max_steps=5, log_every=1)
+        assert np.isfinite(out["total_loss"])
+        assert tr.ckpt.latest_step() == 5
+
+        tr2 = Trainer(model, cfg, example_batch=batch, work_dir=str(tmp_path))
+        resumed = tr2.maybe_restore()
+        assert resumed == 5
+        a = jax.tree.leaves(tr.state.params)[0]
+        b = jax.tree.leaves(tr2.state.params)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_validate(self, tmp_path):
+        from articulated_pose_tpu.train.trainer import Trainer
+
+        cfg, model, state, batch = tiny_setup(batch=4, num_points=64)
+        gen = SyntheticArticulated(n_parts=3, points_per_part=100, seed=0)
+        samples = [gen.frame(np.random.RandomState(i), num_points=64)[0]
+                   for i in range(4)]
+        data = BatchIterator(4, lambda i: samples[i], batch_size=4, seed=0,
+                             shuffle=False)
+        tr = Trainer(model, cfg, example_batch=batch, work_dir=str(tmp_path))
+        vm = tr.validate(data)
+        assert np.isfinite(vm["total_loss"])
