@@ -1,0 +1,199 @@
+"""End-to-end pose fitting from network predictions.
+
+Rebuild of the reference's offline multiprocess pose stage (reference:
+evaluation/parallel_ancsh_pose.py:196-370 `solver_ransac_nonlinear` +
+evaluation/pose_multi_process.py) as a single jit/vmap device program:
+
+Per frame:
+1. argmax the predicted segmentation → padded per-part point sets
+   (fixed-size order/mask buffers replace the ragged np.where lists,
+   parallel_ancsh_pose.py:238-242),
+2. per-part RANSAC similarity fit from part-NOCS → input points
+   ("baseline", :258-285),
+3. joint-axis vote: median of the predicted per-point axis over the
+   joint-associated points (:295) — predicted association by default,
+   GT association optional (the reference's evaluation/ variant),
+4. joint-constrained RANSAC: 3-point pairs from base and moving part,
+   coupled LM refinement, mean-inlier-fraction verification, refit on
+   the best inlier sets ("nonlinear", :287-306).
+
+The whole batch of frames runs as one vmap — there is no process pool,
+no pickle shards (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from articulated_pose_tpu.pose import umeyama
+from articulated_pose_tpu.pose.lm import joint_transformation_estimate
+from articulated_pose_tpu.pose.ransac import masked_sample_indices, ransac_similarity
+
+
+@dataclasses.dataclass(frozen=True)
+class PoseFitConfig:
+    n_parts: int = 3
+    niter_part: int = 2048        # reference: 10000 serial iters (:262)
+    niter_joint: int = 256        # reference: 200 (:288)
+    inlier_th: float = 0.1        # reference choose_threshold
+    lm_iters_hypo: int = 10
+    lm_iters_refit: int = 20
+    use_gt_association: bool = False
+    # joint j (1..n_parts-1) type; prismatic switches the LM residual
+    joint_types: Tuple[str, ...] = ("revolute", "revolute")
+    ransac_chunk: Optional[int] = 512
+
+
+def partition_by_class(cls: jax.Array, n_parts: int):
+    """cls (N,) int -> (order (K, N) part-first index permutations,
+    cnt (K,)).  Fixed-size replacement for per-part np.where."""
+    N = cls.shape[0]
+    iota = jnp.arange(N, dtype=jnp.int32)
+
+    def one(j):
+        member = cls == j
+        key = jnp.where(member, -iota, -(N + iota))
+        order = -jax.lax.top_k(key, N)[0]
+        order = jnp.where(order >= N, order - N, order)
+        return order, jnp.sum(member.astype(jnp.int32))
+
+    orders, cnts = jax.vmap(one)(jnp.arange(n_parts))
+    return orders, cnts
+
+
+def masked_median(x: jax.Array, mask: jax.Array) -> jax.Array:
+    """Per-column median over masked rows. x (N, C), mask (N,) -> (C,)."""
+    big = jnp.where(mask[:, None] > 0, x, jnp.inf)
+    v = jnp.sort(big, axis=0)
+    cnt = jnp.maximum(jnp.sum((mask > 0).astype(jnp.int32)), 1)
+    lo = (cnt - 1) // 2
+    hi = cnt // 2
+    return (v[lo] + v[hi]) / 2.0
+
+
+def _joint_ransac(key, src0, tgt0, m0, src1, tgt1, m1, jt_axis, cfg: PoseFitConfig,
+                  prismatic: bool):
+    """Joint-constrained RANSAC for one (base, moving-part) pair."""
+    H = cfg.niter_joint
+    k0, k1 = jax.random.split(key)
+    idx0 = masked_sample_indices(k0, m0, (H, 3))
+    idx1 = masked_sample_indices(k1, m1, (H, 3))
+    ones3 = jnp.ones((3,), src0.dtype)
+
+    def hypo(i0, i1):
+        fit = joint_transformation_estimate(
+            src0[i0], tgt0[i0], ones3, src1[i1], tgt1[i1], ones3,
+            jt_axis, lm_iters=cfg.lm_iters_hypo, prismatic=prismatic)
+        r0 = umeyama.similarity_residual(fit.R0, fit.s0, fit.t0, src0, tgt0)
+        r1 = umeyama.similarity_residual(fit.R1, fit.s1, fit.t1, src1, tgt1)
+        in0 = (r0 < cfg.inlier_th) & (m0 > 0)
+        in1 = (r1 < cfg.inlier_th) & (m1 > 0)
+        # mean inlier ratio over both parts (parallel_ancsh_pose.py:186-194)
+        frac0 = jnp.sum(in0) / jnp.maximum(jnp.sum(m0), 1.0)
+        frac1 = jnp.sum(in1) / jnp.maximum(jnp.sum(m1), 1.0)
+        return (frac0 + frac1) / 2.0, in0, in1
+
+    scores, in0s, in1s = jax.lax.map(
+        lambda args: hypo(*args), (idx0, idx1),
+        batch_size=min(64, H))
+    best = jnp.argmax(scores)
+    bi0 = in0s[best]
+    bi1 = in1s[best]
+    w0 = jnp.where(jnp.sum(bi0) >= 3, bi0, m0 > 0).astype(src0.dtype)
+    w1 = jnp.where(jnp.sum(bi1) >= 3, bi1, m1 > 0).astype(src1.dtype)
+    fit = joint_transformation_estimate(
+        src0, tgt0, w0, src1, tgt1, w1, jt_axis,
+        lm_iters=cfg.lm_iters_refit, prismatic=prismatic)
+    return fit, scores[best]
+
+
+def fit_frame(pred: Dict[str, jax.Array], P: jax.Array, key: jax.Array,
+              cfg: PoseFitConfig,
+              joint_cls_gt: Optional[jax.Array] = None) -> Dict[str, jax.Array]:
+    """Fit all part poses for one frame.
+
+    pred: per-point predictions (W (N,K), nocs_per_point (N,3K),
+    joint_axis_per_point (N,3), index_per_point (N,K));
+    P (N, 3) input cloud.  Returns dict with stacked per-part
+    baseline/nonlinear (R (K,3,3), s (K,), t (K,3)).
+    """
+    K = cfg.n_parts
+    N = P.shape[0]
+    cls = jnp.argmax(pred["W"], axis=-1)
+    orders, cnts = partition_by_class(cls, K)
+    iota = jnp.arange(N)
+
+    srcs, tgts, masks = [], [], []
+    for j in range(K):
+        order = orders[j]
+        mask = (iota < cnts[j]).astype(P.dtype)
+        srcs.append(pred["nocs_per_point"][:, 3 * j:3 * (j + 1)][order] * mask[:, None])
+        tgts.append(P[order] * mask[:, None])
+        masks.append(mask)
+
+    # ---- per-part baseline RANSAC --------------------------------------
+    keys = jax.random.split(key, K + (K - 1))
+    base_R, base_s, base_t = [], [], []
+    for j in range(K):
+        fit = ransac_similarity(keys[j], srcs[j], tgts[j], masks[j],
+                                niter=cfg.niter_part, inlier_th=cfg.inlier_th,
+                                chunk=cfg.ransac_chunk)
+        base_R.append(fit.R)
+        base_s.append(fit.s)
+        base_t.append(fit.t)
+
+    out = {
+        "baseline_R": jnp.stack(base_R),
+        "baseline_s": jnp.stack(base_s),
+        "baseline_t": jnp.stack(base_t),
+    }
+
+    # ---- joint-constrained nonlinear fits -------------------------------
+    if "joint_axis_per_point" in pred:
+        nl_R = [None] * K
+        nl_s = [None] * K
+        nl_t = [None] * K
+        # base part NOCS head is part 0's slice (parallel_ancsh_pose.py:291)
+        for j in range(1, K):
+            if cfg.use_gt_association and joint_cls_gt is not None:
+                assoc = (joint_cls_gt == j).astype(P.dtype)
+            else:
+                assoc = (jnp.argmax(pred["index_per_point"], -1) == j).astype(P.dtype)
+            jt_axis = masked_median(pred["joint_axis_per_point"], assoc)
+            jt_axis = jnp.where(jnp.isfinite(jt_axis), jt_axis,
+                                jnp.array([0.0, 0.0, 1.0]))
+            prismatic = cfg.joint_types[j - 1] == "prismatic"
+            fit, _ = _joint_ransac(
+                keys[K + j - 1], srcs[0], tgts[0], masks[0],
+                srcs[j], tgts[j], masks[j], jt_axis, cfg, prismatic)
+            if nl_R[0] is None:  # part 0 taken from the first joint solve (:331)
+                nl_R[0], nl_s[0], nl_t[0] = fit.R0, fit.s0, fit.t0
+            nl_R[j], nl_s[j], nl_t[j] = fit.R1, fit.s1, fit.t1
+        if nl_R[0] is None:
+            nl_R[0], nl_s[0], nl_t[0] = base_R[0], base_s[0], base_t[0]
+        out.update({
+            "nonlinear_R": jnp.stack(nl_R),
+            "nonlinear_s": jnp.stack(nl_s),
+            "nonlinear_t": jnp.stack(nl_t),
+        })
+
+    out["part_counts"] = cnts
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def fit_frame_batch(pred: Dict[str, jax.Array], P: jax.Array, key: jax.Array,
+                    cfg: PoseFitConfig,
+                    joint_cls_gt: Optional[jax.Array] = None):
+    """vmap of fit_frame over the leading batch axis."""
+    B = P.shape[0]
+    keys = jax.random.split(key, B)
+    if joint_cls_gt is None:
+        return jax.vmap(lambda p, x, k: fit_frame(p, x, k, cfg))(pred, P, keys)
+    return jax.vmap(lambda p, x, k, jc: fit_frame(p, x, k, cfg, jc))(
+        pred, P, keys, joint_cls_gt)

@@ -1,0 +1,107 @@
+"""Vmapped RANSAC for similarity alignment.
+
+Replaces the reference's serial CPU RANSAC loops (reference:
+evaluation/parallel_ancsh_pose.py:20-54 — 10000 python iterations of
+3-point SVD fits per part, fanned out over processes) with a fixed-shape
+hypothesis batch evaluated in one fused device program:
+
+- H hypotheses × 3-point minimal samples drawn with explicit PRNG keys
+  from the *valid* (mask) points,
+- all hypothesis fits as one vmapped Kabsch + pairwise-scale solve
+  (batched 3×3 SVDs),
+- all H×P residuals as one einsum on the MXU,
+- argmax verification and a weighted refit on the winning inlier set
+  (reference: ransac() refits with model_estimator(dataset, best_inliers)).
+
+Determinism: the reference uses unseeded np.random.randint; here
+hypothesis sampling is a pure function of the PRNG key.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from articulated_pose_tpu.pose import umeyama
+
+
+class SimilarityFit(NamedTuple):
+    R: jax.Array          # (3, 3)
+    s: jax.Array          # ()
+    t: jax.Array          # (3,)
+    inliers: jax.Array    # (P,) bool
+    score: jax.Array      # () inlier count
+
+
+def masked_sample_indices(key: jax.Array, mask: jax.Array, shape) -> jax.Array:
+    """Uniform indices into the valid entries of `mask` (with replacement).
+
+    Valid positions are compacted to the front in index order; draws are
+    uniform over [0, cnt).  Always returns usable indices (cnt==0 -> 0).
+    """
+    P = mask.shape[0]
+    iota = jnp.arange(P, dtype=jnp.int32)
+    key_order = jnp.where(mask > 0, -iota, -(P + iota))
+    order = -jax.lax.top_k(key_order, P)[0]                 # valid-first
+    order = jnp.where(order >= P, order - P, order)
+    cnt = jnp.maximum(jnp.sum((mask > 0).astype(jnp.int32)), 1)
+    u = jax.random.uniform(key, shape)
+    draws = jnp.minimum((u * cnt).astype(jnp.int32), cnt - 1)
+    return order[draws]
+
+
+def _fit_3pt(source3: jax.Array, target3: jax.Array):
+    R, s, t = umeyama.transform_pts(source3, target3)
+    return R, s, t
+
+
+@functools.partial(jax.jit, static_argnames=("niter", "chunk"))
+def ransac_similarity(key: jax.Array, source: jax.Array, target: jax.Array,
+                      mask: jax.Array, *, niter: int = 2048,
+                      inlier_th: float = 0.1,
+                      chunk: Optional[int] = None) -> SimilarityFit:
+    """RANSAC similarity fit on masked padded buffers.
+
+    source/target (P, 3) with mask (P,) ∈ {0,1}.  Returns the refit model
+    on the best hypothesis's inliers.  `chunk` bounds the number of
+    hypotheses scored at once (memory control for the (H, P) residual).
+    """
+    P = source.shape[0]
+    idx = masked_sample_indices(key, mask, (niter, 3))          # (H, 3)
+    src3 = source[idx]                                          # (H, 3, 3)
+    tgt3 = target[idx]
+    Rs, ss, ts = jax.vmap(_fit_3pt)(src3, tgt3)                 # (H,3,3),(H,),(H,3)
+
+    maskf = (mask > 0)
+
+    def score_chunk(args):
+        R, s, t = args
+        pred = jnp.einsum("hij,pj->hpi", R, source) * s[:, None, None] + t[:, None, :]
+        res = jnp.linalg.norm(target[None] - pred, axis=-1)     # (h, P)
+        inl = (res < inlier_th) & maskf[None]
+        return jnp.sum(inl, axis=-1)
+
+    if chunk is None or chunk >= niter:
+        scores = score_chunk((Rs, ss, ts))
+    else:
+        n_chunks = -(-niter // chunk)
+        pad = n_chunks * chunk - niter
+        padded = jax.tree.map(
+            lambda a: jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]),
+            (Rs, ss, ts))
+        reshaped = jax.tree.map(
+            lambda a: a.reshape((n_chunks, chunk) + a.shape[1:]), padded)
+        scores = jax.lax.map(score_chunk, reshaped).reshape(-1)[:niter]
+
+    best = jnp.argmax(scores)
+    Rb, sb, tb = Rs[best], ss[best], ts[best]
+    res = umeyama.similarity_residual(Rb, sb, tb, source, target)
+    inliers = (res < inlier_th) & maskf
+    # refit on inliers; guard the degenerate no-inlier case with the mask
+    w = jnp.where(jnp.sum(inliers) >= 3, inliers, maskf).astype(source.dtype)
+    Rf, sf, tf = umeyama.transform_pts(source, target, w)
+    return SimilarityFit(R=Rf, s=sf, t=tf, inliers=inliers,
+                         score=scores[best])

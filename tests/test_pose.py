@@ -1,0 +1,228 @@
+"""Pose-fitting tests: synthetic round-trips through Umeyama, RANSAC,
+the joint-constrained LM, and the full frame pipeline."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from articulated_pose_tpu.data.labeling import to_gt_dict
+from articulated_pose_tpu.data.synthetic import SyntheticArticulated
+from articulated_pose_tpu.pose import lm, pipeline, ransac, umeyama
+from articulated_pose_tpu.utils import transforms as tr
+
+
+def random_similarity(rng):
+    return (rng.uniform(0.5, 2.0), tr.random_rotation(rng), rng.uniform(-1, 1, 3))
+
+
+def apply_sRt(s, R, t, pts):
+    return s * pts @ R.T + t
+
+
+class TestUmeyama:
+    def test_exact_recovery(self, rng):
+        src = rng.rand(50, 3)
+        s, R, t = random_similarity(rng)
+        tgt = apply_sRt(s, R, t, src)
+        for fn in (umeyama.umeyama_similarity,
+                   lambda a, b: (lambda r: (r[0], r[1], r[2]))(umeyama.transform_pts(a, b))[0:3]):
+            pass
+        Rf, sf, tf = umeyama.umeyama_similarity(jnp.asarray(src), jnp.asarray(tgt))
+        np.testing.assert_allclose(np.asarray(Rf), R, atol=1e-5)
+        np.testing.assert_allclose(float(sf), s, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(tf), t, atol=1e-5)
+
+    def test_transform_pts_pairwise_scale(self, rng):
+        src = rng.rand(20, 3)
+        s, R, t = random_similarity(rng)
+        tgt = apply_sRt(s, R, t, src)
+        Rf, sf, tf = umeyama.transform_pts(jnp.asarray(src), jnp.asarray(tgt))
+        np.testing.assert_allclose(float(sf), s, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(Rf), R, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(tf), t, atol=1e-4)
+
+    def test_weighted_equals_subset(self, rng):
+        src = rng.rand(30, 3)
+        s, R, t = random_similarity(rng)
+        tgt = apply_sRt(s, R, t, src)
+        tgt[20:] += 100.0  # corrupt the masked-out tail
+        w = np.zeros(30); w[:20] = 1.0
+        Rf, sf, tf = umeyama.transform_pts(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(w))
+        Rs, ss, ts = umeyama.transform_pts(
+            jnp.asarray(src[:20]), jnp.asarray(tgt[:20]))
+        np.testing.assert_allclose(np.asarray(Rf), np.asarray(Rs), atol=1e-5)
+        np.testing.assert_allclose(float(sf), float(ss), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(tf), np.asarray(ts), atol=1e-5)
+
+    def test_reflection_guard(self, rng):
+        # degenerate planar points must still yield det(R) = +1
+        src = rng.rand(10, 3); src[:, 2] = 0
+        tgt = src.copy(); tgt[:, 0] = -tgt[:, 0]
+        R = umeyama.kabsch_rotation(jnp.asarray(src), jnp.asarray(tgt))
+        np.testing.assert_allclose(float(jnp.linalg.det(R)), 1.0, rtol=1e-5)
+
+
+class TestRansac:
+    def test_recovers_with_outliers(self, rng):
+        P = 128
+        src = rng.rand(P, 3).astype(np.float32)
+        s, R, t = random_similarity(rng)
+        tgt = apply_sRt(s, R, t, src).astype(np.float32)
+        n_out = 30
+        tgt[:n_out] += rng.uniform(1.0, 2.0, (n_out, 3))  # outliers
+        mask = np.ones(P, np.float32)
+        fit = ransac.ransac_similarity(
+            jax.random.PRNGKey(0), jnp.asarray(src), jnp.asarray(tgt),
+            jnp.asarray(mask), niter=256, inlier_th=0.05)
+        assert tr.rot_diff_degree(np.asarray(fit.R), R) < 1.0
+        np.testing.assert_allclose(float(fit.s), s, rtol=1e-2)
+        np.testing.assert_allclose(np.asarray(fit.t), t, atol=0.02)
+        assert int(fit.score) >= P - n_out - 5
+
+    def test_masked_padding_ignored(self, rng):
+        P = 64
+        src = np.zeros((P, 3), np.float32)
+        tgt = np.zeros((P, 3), np.float32)
+        n_valid = 40
+        src[:n_valid] = rng.rand(n_valid, 3)
+        s, R, t = random_similarity(rng)
+        tgt[:n_valid] = apply_sRt(s, R, t, src[:n_valid])
+        mask = np.zeros(P, np.float32); mask[:n_valid] = 1
+        fit = ransac.ransac_similarity(
+            jax.random.PRNGKey(1), jnp.asarray(src), jnp.asarray(tgt),
+            jnp.asarray(mask), niter=128, inlier_th=0.05)
+        assert tr.rot_diff_degree(np.asarray(fit.R), R) < 1.0
+
+    def test_masked_sample_indices_valid_only(self, rng):
+        mask = np.zeros(32, np.float32)
+        valid = [3, 7, 20, 31]
+        mask[valid] = 1
+        idx = np.asarray(ransac.masked_sample_indices(
+            jax.random.PRNGKey(0), jnp.asarray(mask), (100, 3)))
+        assert set(np.unique(idx)).issubset(set(valid))
+
+
+class TestLM:
+    def test_rotvec_roundtrip(self, rng):
+        v = rng.randn(3) * 0.7
+        R = np.asarray(lm.rotvec_to_matrix(jnp.asarray(v)))
+        np.testing.assert_allclose(R, tr.rotvec_to_matrix(v), atol=1e-6)
+        v2 = np.asarray(lm.matrix_to_rotvec(jnp.asarray(R)))
+        np.testing.assert_allclose(v2, v, atol=1e-5)
+
+    def test_rotvec_rotate_matches_rodrigues(self, rng):
+        pts = rng.rand(10, 3)
+        v = rng.randn(3)
+        got = np.asarray(lm.rotvec_rotate(jnp.asarray(pts), jnp.asarray(v)))
+        want = pts @ tr.rotvec_to_matrix(v).T
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_joint_estimator_exact(self, rng):
+        """Two parts rotated by different amounts about a shared axis: the
+        coupled solve must recover both rotations and the common axis."""
+        axis = np.array([0.0, 0.0, 1.0])
+        R_cam = tr.random_rotation(rng)
+        R0 = R_cam                                   # base: camera only
+        R1 = R_cam @ tr.axis_angle_matrix(axis, 0.8) # moving part
+        s0, s1 = 1.3, 1.3
+        t0, t1 = rng.rand(3), rng.rand(3)
+        src0, src1 = rng.rand(40, 3), rng.rand(40, 3)
+        tgt0 = apply_sRt(s0, R0, t0, src0)
+        tgt1 = apply_sRt(s1, R1, t1, src1)
+        # the constraint is on the SOURCE-frame axis: R0·a == R1·a, i.e.
+        # both parts map the canonical axis to the same camera direction
+        # (the reference's joint_direction comes from the per-point axis
+        # head, which predicts the canonical-frame axis).
+        m = jnp.ones(40)
+        fit = lm.joint_transformation_estimate(
+            jnp.asarray(src0), jnp.asarray(tgt0), m,
+            jnp.asarray(src1), jnp.asarray(tgt1), m,
+            jnp.asarray(axis), lm_iters=15)
+        assert tr.rot_diff_degree(np.asarray(fit.R0), R0) < 0.5
+        assert tr.rot_diff_degree(np.asarray(fit.R1), R1) < 0.5
+        np.testing.assert_allclose(float(fit.s0), s0, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(fit.t1), t1, atol=1e-3)
+        # axis consistency: R0 a == R1 a for the recovered pair
+        a0 = np.asarray(fit.R0) @ axis
+        a1 = np.asarray(fit.R1) @ axis
+        assert tr.axis_diff_degree(a0, a1) < 0.5
+
+
+class TestPipeline:
+    def _perfect_pred(self, sample, n_parts):
+        """Oracle predictions built from GT labels."""
+        N = sample["P"].shape[0]
+        cls = sample["cls_gt"].astype(int)
+        W = np.eye(n_parts, dtype=np.float32)[cls]
+        nocs = np.zeros((N, 3 * n_parts), np.float32)
+        for j in range(n_parts):
+            nocs[cls == j, 3 * j:3 * (j + 1)] = sample["nocs_gt"][cls == j]
+        index = np.eye(n_parts, dtype=np.float32)[sample["joint_cls_gt"].astype(int) % n_parts]
+        return {
+            "W": jnp.asarray(W),
+            "nocs_per_point": jnp.asarray(nocs),
+            "joint_axis_per_point": jnp.asarray(sample["orient_gt"]),
+            "index_per_point": jnp.asarray(index),
+        }
+
+    @pytest.mark.parametrize("joint_types", [("revolute",), ("prismatic",)])
+    def test_fit_frame_oracle(self, joint_types):
+        n_parts = 2
+        gen = SyntheticArticulated(n_parts=n_parts, points_per_part=200,
+                                   joint_types=joint_types, seed=11)
+        rngs = np.random.RandomState(5)
+        sample, gt = gen.frame(rngs, num_points=256)
+        pred = self._perfect_pred(sample, n_parts)
+        cfg = pipeline.PoseFitConfig(
+            n_parts=n_parts, niter_part=128, niter_joint=32,
+            joint_types=joint_types, lm_iters_hypo=8, lm_iters_refit=15,
+            ransac_chunk=None)
+        out = pipeline.fit_frame(pred, jnp.asarray(sample["P"]),
+                                 jax.random.PRNGKey(0), cfg)
+        for j in range(n_parts):
+            s_gt, R_gt, t_gt = tr.decompose_similarity(gt.rt_nocs2cam[j])
+            for prefix in ("baseline", "nonlinear"):
+                R = np.asarray(out[f"{prefix}_R"][j])
+                s = float(out[f"{prefix}_s"][j])
+                t = np.asarray(out[f"{prefix}_t"][j])
+                assert tr.rot_diff_degree(R, R_gt) < 2.0, (prefix, j)
+                np.testing.assert_allclose(s, s_gt, rtol=0.05)
+                np.testing.assert_allclose(t, t_gt, atol=0.05)
+
+    def test_fit_frame_batch(self):
+        n_parts = 2
+        gen = SyntheticArticulated(n_parts=n_parts, points_per_part=150, seed=3)
+        batch, gts = gen.batch(np.random.RandomState(1), 2, num_points=128)
+        pred = {k: jnp.stack([jnp.asarray(v) for v in vs]) for k, vs in
+                {k: [self._perfect_pred({kk: batch[kk][i] for kk in batch}, n_parts)[k]
+                     for i in range(2)]
+                 for k in ("W", "nocs_per_point", "joint_axis_per_point",
+                           "index_per_point")}.items()}
+        cfg = pipeline.PoseFitConfig(
+            n_parts=n_parts, niter_part=64, niter_joint=16,
+            joint_types=("revolute",), lm_iters_hypo=5, lm_iters_refit=10,
+            ransac_chunk=None)
+        out = pipeline.fit_frame_batch(pred, jnp.asarray(batch["P"]),
+                                       jax.random.PRNGKey(0), cfg)
+        assert out["baseline_R"].shape == (2, n_parts, 3, 3)
+        for i in range(2):
+            for j in range(n_parts):
+                s_gt, R_gt, t_gt = tr.decompose_similarity(gts[i].rt_nocs2cam[j])
+                R = np.asarray(out["baseline_R"][i, j])
+                assert tr.rot_diff_degree(R, R_gt) < 3.0
+
+    def test_partition_by_class(self):
+        cls = jnp.asarray([1, 0, 1, 2, 0, 0])
+        orders, cnts = pipeline.partition_by_class(cls, 3)
+        np.testing.assert_array_equal(np.asarray(cnts), [3, 2, 1])
+        np.testing.assert_array_equal(np.asarray(orders)[0, :3], [1, 4, 5])
+        np.testing.assert_array_equal(np.asarray(orders)[1, :2], [0, 2])
+
+    def test_masked_median(self):
+        x = jnp.asarray([[1.0, 10], [2.0, 20], [3.0, 30], [100.0, -5]])
+        m = jnp.asarray([1.0, 1, 1, 0])
+        med = np.asarray(pipeline.masked_median(x, m))
+        np.testing.assert_allclose(med, [2.0, 20.0])
