@@ -1,0 +1,112 @@
+"""Evaluation metrics.
+
+Rebuild of the reference metric layer (reference: lib/d3_utils.py,
+evaluation/eval_pose_err.py, evaluation/compute_miou.py):
+
+- pose_errors: per-part rotation (degrees), translation, scale errors
+  (eval_pose_err.py:128-170),
+- 3D box IoU by dense grid sampling over the union bbox — the same
+  algorithm as the reference's 50³ itertools.product Monte-Carlo grid
+  (d3_utils.py:55-69), vectorized,
+- bbox reconstruction from predicted NOCS extent 2·max|nocs − 0.5|
+  (compute_miou.py:196-209).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from articulated_pose_tpu.utils.transforms import rot_diff_degree
+
+
+def get_3d_bbox(scale, shift=0.0) -> np.ndarray:
+    """Axis-aligned box corners (8, 3) in the reference's corner order
+    (d3_utils.py:8-37, transposed to rows)."""
+    scale = np.broadcast_to(np.asarray(scale, np.float64), (3,))
+    sx, sy, sz = scale / 2.0
+    corners = np.array([
+        [+sx, +sy, +sz], [+sx, +sy, -sz], [-sx, +sy, +sz], [-sx, +sy, -sz],
+        [+sx, -sy, +sz], [+sx, -sy, -sz], [-sx, -sy, +sz], [-sx, -sy, -sz],
+    ])
+    return corners + np.asarray(shift)
+
+
+def pts_inside_box(pts: np.ndarray, bbox: np.ndarray) -> np.ndarray:
+    """Boolean mask of points inside an oriented box given as 8 corners in
+    get_3d_bbox order.
+
+    Note a deliberate fix vs the reference: its pts_inside_box
+    (d3_utils.py:39-53) assumes a corner ordering different from what its
+    own get_3d_bbox emits, so compute_miou.py tested containment against a
+    sheared parallelepiped (edge u2 = corner5→corner7 is a face diagonal
+    in the He ordering).  Here the three edges from corner 4 are taken to
+    its actual neighbors (5, 6, 0), giving the true box.
+    """
+    u1 = bbox[5] - bbox[4]
+    u2 = bbox[6] - bbox[4]
+    u3 = bbox[0] - bbox[4]
+    up = pts - bbox[4]
+    inside = np.ones(len(pts), dtype=bool)
+    for u in (u1, u2, u3):
+        p = up @ u
+        inside &= (p > 0) & (p < np.dot(u, u))
+    return inside
+
+
+def box_iou_3d(bbox1: np.ndarray, bbox2: np.ndarray, nres: int = 50) -> float:
+    """Grid-sampled IoU of two oriented boxes (d3_utils.py:55-69).
+
+    The algorithm is kept identical to the reference for metric parity;
+    the nres³ grid is built with meshgrid instead of itertools.
+    """
+    both = np.concatenate([bbox1, bbox2], axis=0)
+    bmin, bmax = both.min(0), both.max(0)
+    axes = [np.linspace(bmin[i], bmax[i], nres) for i in range(3)]
+    g = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1).reshape(-1, 3)
+    f1 = pts_inside_box(g, bbox1)
+    f2 = pts_inside_box(g, bbox2)
+    union = np.logical_or(f1, f2).sum()
+    if union == 0:
+        return 1.0
+    return float(np.logical_and(f1, f2).sum()) / float(union)
+
+
+def bbox_from_nocs_extent(nocs: np.ndarray) -> np.ndarray:
+    """Amodal NOCS-space box from predicted coords: size 2·max|nocs − 0.5|
+    per axis, centered at 0.5 (compute_miou.py:196-209)."""
+    extent = 2.0 * np.max(np.abs(nocs - 0.5), axis=0)
+    return get_3d_bbox(extent, shift=0.5)
+
+
+def transform_bbox(bbox: np.ndarray, s: float, R: np.ndarray, t: np.ndarray) -> np.ndarray:
+    return s * bbox @ np.asarray(R).T + np.asarray(t)
+
+
+def pose_errors(R_pred, t_pred, s_pred, R_gt, t_gt, s_gt) -> Dict[str, float]:
+    """Per-part pose error triple (eval_pose_err.py / parallel_ancsh_pose.py
+    :270-272)."""
+    return {
+        "rot_err_deg": rot_diff_degree(np.asarray(R_pred), np.asarray(R_gt)),
+        "trans_err": float(np.linalg.norm(np.asarray(t_pred) - np.asarray(t_gt))),
+        "scale_err": float(abs(float(s_pred) - float(s_gt))),
+    }
+
+
+def accuracy_5deg5cm(rot_errs: np.ndarray, trans_errs: np.ndarray,
+                     trans_unit_scale: float = 1.0) -> Dict[str, float]:
+    """5° and 5°5cm accuracies (eval_pose_err.py:150-170).
+
+    `trans_unit_scale` converts translation errors to the metric frame
+    (the reference evaluates in the normalized camera frame where the
+    object diagonal is 1; 5cm corresponds to 0.05 there for unit-diag
+    objects).
+    """
+    rot = np.asarray(rot_errs, np.float64)
+    trans = np.asarray(trans_errs, np.float64) * trans_unit_scale
+    valid = np.isfinite(rot) & np.isfinite(trans)
+    n = max(int(valid.sum()), 1)
+    acc5 = float(((rot < 5.0) & valid).sum()) / n
+    acc55 = float(((rot < 5.0) & (trans < 0.05) & valid).sum()) / n
+    return {"acc_5deg": acc5, "acc_5deg5cm": acc55, "n_valid": n}

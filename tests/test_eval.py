@@ -1,0 +1,122 @@
+"""Evaluation suite tests, incl. the reference's iou_3d sanity cases."""
+
+import numpy as np
+
+from articulated_pose_tpu.data.synthetic import SyntheticArticulated
+from articulated_pose_tpu.eval import metrics as M
+from articulated_pose_tpu.eval import pipeline as E
+from articulated_pose_tpu.utils import transforms as tr
+
+
+class TestIoU:
+    """Mirrors the reference self-test (lib/d3_utils.py:331-346)."""
+
+    def test_identity(self):
+        b = M.get_3d_bbox([2.0, 2.0, 2.0])
+        assert M.box_iou_3d(b, b) == 1.0
+
+    def test_shifted(self):
+        b1 = M.get_3d_bbox([2.0, 2.0, 2.0])
+        b2 = b1 + np.array([1.0, 0, 0])
+        iou = M.box_iou_3d(b1, b2)
+        # overlap 1x2x2 = 4, union 12 -> 1/3
+        np.testing.assert_allclose(iou, 1 / 3, atol=0.02)
+
+    def test_disjoint(self):
+        b1 = M.get_3d_bbox([2.0, 2.0, 2.0])
+        b2 = b1 + np.array([2.0, 0, 0])
+        assert M.box_iou_3d(b1, b2) < 0.02
+
+    def test_rotated_45(self):
+        b1 = M.get_3d_bbox([2.0, 2.0, 2.0])
+        R = tr.axis_angle_matrix(np.array([0, 0, 1.0]), np.pi / 4)
+        b2 = b1 @ R.T
+        iou = M.box_iou_3d(b1, b2)
+        assert 0.6 < iou < 0.8  # known ~0.707 overlap band
+
+    def test_pts_inside_box(self):
+        b = M.get_3d_bbox([2.0, 2.0, 2.0])
+        pts = np.array([[0.0, 0, 0], [0.9, 0.9, 0.9], [1.1, 0, 0]])
+        np.testing.assert_array_equal(M.pts_inside_box(pts, b), [True, True, False])
+
+
+class TestMetrics:
+    def test_pose_errors_zero(self, rng):
+        R = tr.random_rotation(rng)
+        e = M.pose_errors(R, np.zeros(3), 1.0, R, np.zeros(3), 1.0)
+        assert e["rot_err_deg"] < 1e-4
+        assert e["trans_err"] == 0 and e["scale_err"] == 0
+
+    def test_accuracy(self):
+        rot = np.array([1.0, 4.9, 6.0, np.nan])
+        trans = np.array([0.01, 0.2, 0.01, 0.0])
+        acc = M.accuracy_5deg5cm(rot, trans)
+        assert acc["n_valid"] == 3
+        np.testing.assert_allclose(acc["acc_5deg"], 2 / 3)
+        np.testing.assert_allclose(acc["acc_5deg5cm"], 1 / 3)
+
+    def test_bbox_from_nocs_extent(self):
+        nocs = np.array([[0.2, 0.5, 0.5], [0.8, 0.6, 0.5]])
+        box = M.bbox_from_nocs_extent(nocs)
+        # size = 2*max|nocs-0.5| = (0.6, 0.2, 0.0), centered at 0.5
+        np.testing.assert_allclose(box[:, 0].max(), 0.8, atol=1e-9)
+        np.testing.assert_allclose(box[:, 0].min(), 0.2, atol=1e-9)
+
+
+class TestGTandEval:
+    def test_compute_gt_poses_recovers_synthetic(self):
+        gen = SyntheticArticulated(n_parts=2, points_per_part=200, seed=9)
+        sample, gt = gen.frame(np.random.RandomState(2), num_points=400)
+        cls = sample["cls_gt"].astype(int)
+        fits = E.compute_gt_poses(sample["nocs_gt"], sample["P"], cls, 2)
+        for j in range(2):
+            s_gt, R_gt, t_gt = tr.decompose_similarity(gt.rt_nocs2cam[j])
+            assert tr.rot_diff_degree(fits[j]["R"], R_gt) < 0.5
+            np.testing.assert_allclose(fits[j]["s"], s_gt, rtol=1e-3)
+            np.testing.assert_allclose(fits[j]["t"], t_gt, atol=1e-3)
+
+    def test_evaluate_fits_report(self):
+        gen = SyntheticArticulated(n_parts=2, points_per_part=150, seed=9)
+        rng = np.random.RandomState(4)
+        fits, gts, nocs_pred, nocs_gt, cls_list = [], [], [], [], []
+        for i in range(3):
+            sample, gt = gen.frame(rng, num_points=256)
+            cls = sample["cls_gt"].astype(int)
+            g = {"R": [], "s": [], "t": []}
+            for j in range(2):
+                s_, R_, t_ = tr.decompose_similarity(gt.rt_nocs2cam[j])
+                g["R"].append(R_)
+                g["s"].append(s_)
+                g["t"].append(t_)
+            gts.append(g)
+            fits.append(g)  # perfect predictions
+            N = 256
+            npred = np.zeros((N, 6), np.float32)
+            for j in range(2):
+                npred[cls == j, 3 * j:3 * (j + 1)] = sample["nocs_gt"][cls == j]
+            nocs_pred.append(npred)
+            nocs_gt.append(sample["nocs_gt"])
+            cls_list.append(cls)
+        report = E.evaluate_fits(fits, gts, 2, nocs_pred=nocs_pred,
+                                 nocs_gt=nocs_gt, cls_list=cls_list,
+                                 miou_nres=30)
+        assert report.overall["rot_err_deg_mean"] < 1e-3
+        assert report.overall["acc_5deg5cm"] == 1.0
+        assert report.per_part[0]["miou_mean"] > 0.95
+        assert report.n_dropped == 0
+        assert "part 0" in report.summary()
+
+    def test_joint_vote_and_errors(self):
+        gen = SyntheticArticulated(n_parts=2, points_per_part=300, seed=12)
+        sample, gt = gen.frame(np.random.RandomState(8), num_points=600)
+        cls = sample["cls_gt"].astype(int)
+        # base pose in NAOCS: Umeyama of global NOCS -> P
+        base = E.compute_gt_poses(sample["nocs_gt_g"], sample["P"], cls, 2)[0]
+        line = E.vote_joint_params(
+            sample["nocs_gt_g"], sample["unitvec_gt"],
+            sample["heatmap_gt"], sample["orient_gt"],
+            sample["joint_cls_mask"], base)
+        assert line is not None
+        errs = E.joint_errors(line, gt.joint_axes_cam[0], gt.joint_points_cam[0])
+        assert errs["axis_err_deg"] < 2.0
+        assert errs["line_dist"] < 0.05
