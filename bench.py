@@ -1,0 +1,90 @@
+"""End-to-end benchmark: 2048-pt ANCSH forward + on-device pose fit.
+
+Measures point clouds/sec/chip for the BASELINE.json headline metric
+(forward pass of the full ANCSH model on 2048-point clouds followed by
+the per-part RANSAC + joint-constrained pose fit, all on device).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "clouds/sec", "vs_baseline": N}
+
+vs_baseline is measured against the driver-set north star of 10,000
+clouds/sec/chip (the reference publishes no numbers — BASELINE.md), so
+vs_baseline = value / 10000.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--points", type=int, default=2048)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--niter-part", type=int, default=1024)
+    ap.add_argument("--niter-joint", type=int, default=128)
+    ap.add_argument("--skip-pose", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from articulated_pose_tpu.models.ancsh import ANCSHModel
+    from articulated_pose_tpu.pose.pipeline import PoseFitConfig, fit_frame_batch
+
+    B, N, K = args.batch, args.points, 3
+    model = ANCSHModel(n_max_parts=K, mixed=True, pred_joint=True,
+                       dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    P = jnp.asarray(np.random.RandomState(0).rand(B, N, 3), jnp.float32)
+    variables = model.init(rng, P[:1, :256])
+
+    pose_cfg = PoseFitConfig(
+        n_parts=K, niter_part=args.niter_part, niter_joint=args.niter_joint,
+        joint_types=("revolute", "revolute"),
+        lm_iters_hypo=8, lm_iters_refit=15, ransac_chunk=256)
+
+    @jax.jit
+    def forward(P):
+        return model.apply(variables, P, train=False)
+
+    @jax.jit
+    def end_to_end(P, key):
+        pred = model.apply(variables, P, train=False)
+        pose_pred = {
+            "W": pred["W"],
+            "nocs_per_point": pred["nocs_per_point"],
+            "joint_axis_per_point": pred["joint_axis_per_point"],
+            "index_per_point": pred["index_per_point"],
+        }
+        fits = fit_frame_batch(pose_pred, P, key, pose_cfg)
+        return fits["baseline_R"], fits.get("nonlinear_R")
+
+    run = forward if args.skip_pose else (lambda P: end_to_end(P, jax.random.PRNGKey(1)))
+
+    # warmup / compile
+    for _ in range(args.warmup):
+        out = run(P)
+        jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = run(P)
+        jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    clouds_per_sec = B * args.iters / dt
+    print(json.dumps({
+        "metric": "point clouds/sec/chip (2048-pt ANCSH forward+pose fit)",
+        "value": round(clouds_per_sec, 2),
+        "unit": "clouds/sec",
+        "vs_baseline": round(clouds_per_sec / 10000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
