@@ -1,0 +1,171 @@
+"""Reference-format HDF5 dataset.
+
+Reads the preprocessed per-frame HDF5 files the reference pipeline
+produces (reference: tools/preprocess_data.py:337-348 — groups
+`gt_points/<part>` (camera-space points) and `gt_coords/<part>`
+(canonical URDF-frame coords)) together with split txt files
+(lib/dataset.py:47-76) and the category registry, and assembles training
+samples via data.labeling.
+
+Differences from the reference loader (lib/dataset.py):
+- normalization corners/factors and joint specs come from a
+  `model_info.json` per instance (written by tools/preprocess.py) or are
+  computed from URDF + meshes via tools/urdf.py — no pickled
+  side-channel required;
+- seen/unseen filtering uses the registry's test_list identically;
+- sample assembly is the shared labeling.build_sample (golden-tested).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from articulated_pose_tpu.data.batcher import BatchIterator
+from articulated_pose_tpu.data.labeling import JointSpec, NormInfo, build_sample
+from articulated_pose_tpu.registry import CategorySpec, get_category
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover
+    h5py = None
+
+
+def read_split(path: str) -> List[str]:
+    with open(path, errors="replace") as f:
+        return [ln.strip() for ln in f if ln.strip()]
+
+
+def instance_of(path: str) -> str:
+    """Instance id from .../<instance>/<articulation>/<frame>.h5
+    (lib/dataset.py:59)."""
+    return path.split(".")[0].split("/")[-3]
+
+
+def filter_domain(files: Sequence[str], spec: CategorySpec,
+                  domain: Optional[str]) -> List[str]:
+    """seen/unseen filtering by held-out instance ids (lib/dataset.py:61-66)."""
+    if domain is None:
+        return list(files)
+    unseen = set(spec.test_list)
+    if domain == "seen":
+        return [f for f in files if instance_of(f) not in unseen]
+    if domain == "unseen":
+        return [f for f in files if instance_of(f) in unseen]
+    raise ValueError(f"domain must be 'seen'/'unseen'/None, got {domain!r}")
+
+
+class InstanceInfo:
+    """Per-instance normalization + joints, loaded from model_info.json."""
+
+    def __init__(self, norm: NormInfo, joints: List[JointSpec]):
+        self.norm = norm
+        self.joints = joints
+
+    @classmethod
+    def load(cls, path: str) -> "InstanceInfo":
+        with open(path) as f:
+            raw = json.load(f)
+        norm = NormInfo(
+            corners=[np.asarray(c, np.float64) for c in raw["corners"]],
+            factors=[float(x) for x in raw["factors"]])
+        joints = [JointSpec(position=np.asarray(j["position"], np.float64),
+                            axis=np.asarray(j["axis"], np.float64),
+                            parent=int(j["parent"]), child=int(j["child"]),
+                            jtype=j.get("type", "revolute"))
+                  for j in raw["joints"]]
+        return cls(norm, joints)
+
+    def dump(self, path: str) -> None:
+        raw = {
+            "corners": [np.asarray(c).tolist() for c in self.norm.corners],
+            "factors": [float(x) for x in self.norm.factors],
+            "joints": [{"position": np.asarray(j.position).reshape(-1).tolist(),
+                        "axis": np.asarray(j.axis).reshape(-1).tolist(),
+                        "parent": j.parent, "child": j.child, "type": j.jtype}
+                       for j in self.joints],
+        }
+        with open(path, "w") as f:
+            json.dump(raw, f, indent=1)
+
+
+class HDF5Dataset:
+    """Iterable dataset over reference-format HDF5 frames.
+
+    root_dir layout (matching the reference's data dir):
+      <root>/hdf5/<category>/<instance>/<articulation>/<frame>.h5
+      <root>/splits/<category>/<num_expr>/{train,test,demo}.txt
+      <root>/info/<category>/<instance>/model_info.json
+    """
+
+    def __init__(self, root_dir: str, category: str, mode: str = "train", *,
+                 num_expr: str = "0.01", domain: Optional[str] = None,
+                 num_points: int = 1024, n_max_parts: Optional[int] = None,
+                 batch_size: int = 16, nocs_type: str = "AC",
+                 fixed_order: bool = False, first_n: int = -1, seed: int = 0,
+                 thres_r: float = 0.2):
+        if h5py is None:
+            raise ImportError("h5py is required for HDF5Dataset")
+        self.root_dir = root_dir
+        self.spec = get_category(category)
+        self.mode = mode
+        self.num_points = num_points
+        self.n_max_parts = n_max_parts or self.spec.num_parts
+        self.nocs_type = nocs_type
+        self.fixed_order = fixed_order
+        self.thres_r = thres_r
+        self.batch_size = batch_size
+        self._rng = np.random.RandomState(seed)
+
+        split_file = os.path.join(root_dir, "splits", category, num_expr,
+                                  ("train.txt" if mode == "train" else
+                                   "demo.txt" if mode == "demo" else "test.txt"))
+        files = read_split(split_file)
+        if mode == "test":
+            files = filter_domain(files, self.spec, domain)
+        if not fixed_order:
+            self._rng.shuffle(files)
+        if first_n != -1:
+            files = files[:first_n]
+        self.files = files
+        self.basenames = ["_".join(p.split(".")[0].split("/")[-3:]) for p in files]
+        self._info_cache: Dict[str, InstanceInfo] = {}
+
+    # ------------------------------------------------------------------
+    def _info(self, instance: str) -> InstanceInfo:
+        if instance not in self._info_cache:
+            path = os.path.join(self.root_dir, "info", self.spec.name,
+                                instance, "model_info.json")
+            self._info_cache[instance] = InstanceInfo.load(path)
+        return self._info_cache[instance]
+
+    def fetch(self, i: int) -> Dict[str, np.ndarray]:
+        path = self.files[i]
+        full = path if os.path.isabs(path) else os.path.join(self.root_dir, path)
+        instance = instance_of(path)
+        info = self._info(instance)
+        with h5py.File(full, "r") as f:
+            parts_pts, parts_canon = [], []
+            for group in self.spec.parts_map:
+                pts = [f["gt_points"][str(g)][()][:, :3] for g in group]
+                coords = [f["gt_coords"][str(g)][()][:, :3] for g in group]
+                parts_pts.append(np.concatenate(pts, axis=0))
+                parts_canon.append(np.concatenate(coords, axis=0))
+        return build_sample(
+            parts_pts, parts_canon, info.joints, info.norm,
+            num_points=self.num_points, n_max_parts=self.n_max_parts,
+            nocs_type=self.nocs_type, thres_r=self.thres_r,
+            rng=self._rng, permute=not self.fixed_order)
+
+    def iterator(self, shuffle: Optional[bool] = None,
+                 drop_last: bool = True) -> BatchIterator:
+        shuffle = (not self.fixed_order) if shuffle is None else shuffle
+        return BatchIterator(len(self.files), self.fetch, self.batch_size,
+                             shuffle=shuffle, seed=self._rng.randint(2**31),
+                             drop_last=drop_last)
+
+    def __len__(self):
+        return len(self.files)

@@ -34,20 +34,89 @@ def _wmean(x: jax.Array, w: Optional[jax.Array]) -> jax.Array:
     return jnp.sum(x * w[:, None], axis=0) / wsum
 
 
-def kabsch_rotation(source: jax.Array, target: jax.Array,
-                    w: Optional[jax.Array] = None) -> jax.Array:
-    """Optimal rotation R with target ≈ R @ source (both (N, 3), centered
-    internally).  Mirrors rotate_pts including the determinant flip."""
-    sc = source - _wmean(source, w)
-    tc = target - _wmean(target, w)
-    if w is not None:
-        sc = sc * w[:, None]
-    M = tc.T @ sc                                       # (3, 3)
+def _svd_rotation(M: jax.Array) -> jax.Array:
+    """Proper rotation from a 3×3 cross-covariance via SVD + det flip."""
     U, D, Vh = jnp.linalg.svd(M, full_matrices=True)
     d = jnp.linalg.det(U) * jnp.linalg.det(Vh)
     flip = jnp.where(d < 0.0, -1.0, 1.0)
     U = U.at[:, -1].multiply(flip)
     return U @ Vh
+
+
+def _horn_rotation(M: jax.Array, iters: int = 12) -> jax.Array:
+    """Proper rotation from a 3×3 cross-covariance by Horn's quaternion
+    method with a FIXED-iteration shifted power method.
+
+    TPU-first design note: XLA's SVD/eigh lower to while_loops whose trip
+    count depends on conditioning — degenerate RANSAC minimal samples
+    (duplicate points → zero covariance) made them orders of magnitude
+    slower than well-conditioned inputs.  The 4×4 power iteration is a
+    fixed-length fori_loop of vectorized mat-vecs: constant runtime,
+    always returns a proper rotation (unit quaternion), and batches over
+    thousands of hypotheses on the VPU.
+
+    M = Σ w·target·sourceᵀ (i.e. tcᵀ@sc as used by _svd_rotation); the
+    returned R maximizes tr(Rᵀ M), matching the reference rotate_pts
+    (lib/d3_utils.py:206-220).
+    """
+    # Horn's N matrix for R maximizing tr(R^T M) with S = M^T
+    # (S_ab = Σ source_a target_b).
+    S = M.T
+    Sxx, Sxy, Sxz = S[0, 0], S[0, 1], S[0, 2]
+    Syx, Syy, Syz = S[1, 0], S[1, 1], S[1, 2]
+    Szx, Szy, Szz = S[2, 0], S[2, 1], S[2, 2]
+    N = jnp.array([
+        [Sxx + Syy + Szz, Syz - Szy,        Szx - Sxz,        Sxy - Syx],
+        [Syz - Szy,       Sxx - Syy - Szz,  Sxy + Syx,        Szx + Sxz],
+        [Szx - Sxz,       Sxy + Syx,       -Sxx + Syy - Szz,  Syz + Szy],
+        [Sxy - Syx,       Szx + Sxz,        Syz + Szy,       -Sxx - Syy + Szz],
+    ])
+    # Dominant eigenvector by repeated matrix squaring: with shift making
+    # the spectrum positive, B^(2^k) → λ1^(2^k)·v1·v1ᵀ, so after k
+    # squarings every column of B is ∝ v1 with relative error
+    # (λ2/λ1)^(2^k) — 12 squarings drive even a 0.99 gap ratio to machine
+    # zero at the fixed cost of 12 4×4 matmuls (plain power iteration
+    # needed hundreds of steps for near-degenerate minimal samples).
+    shift = jnp.sqrt(jnp.sum(N * N)) + 1e-6
+    B = N + shift * jnp.eye(4)
+    B = B / jnp.sqrt(jnp.sum(B * B))
+
+    def body(_, B):
+        B = B @ B
+        return B / jnp.maximum(jnp.sqrt(jnp.sum(B * B)), EPS)
+
+    B = jax.lax.fori_loop(0, iters, body, B)
+    # every column is ∝ v1; take the largest for stability
+    col = jnp.argmax(jnp.sum(B * B, axis=0))
+    q = B[:, col]
+    q = q / jnp.maximum(jnp.linalg.norm(q), EPS)
+    a, b, c, d = q[0], q[1], q[2], q[3]
+    return jnp.array([
+        [a * a + b * b - c * c - d * d, 2 * (b * c - a * d), 2 * (b * d + a * c)],
+        [2 * (b * c + a * d), a * a - b * b + c * c - d * d, 2 * (c * d - a * b)],
+        [2 * (b * d - a * c), 2 * (c * d + a * b), a * a - b * b - c * c + d * d],
+    ])
+
+
+def kabsch_rotation(source: jax.Array, target: jax.Array,
+                    w: Optional[jax.Array] = None,
+                    method: str = "horn") -> jax.Array:
+    """Optimal rotation R with target ≈ R @ source (both (N, 3), centered
+    internally).  Mirrors rotate_pts including the determinant flip.
+
+    method='horn' (default): fixed-iteration quaternion solve — constant
+    runtime on TPU regardless of conditioning.  method='svd': XLA SVD
+    (bit-matches the reference's np.linalg.svd path; data-dependent
+    while_loop runtime).
+    """
+    sc = source - _wmean(source, w)
+    tc = target - _wmean(target, w)
+    if w is not None:
+        sc = sc * w[:, None]
+    M = tc.T @ sc                                       # (3, 3)
+    if method == "svd":
+        return _svd_rotation(M)
+    return _horn_rotation(M)
 
 
 def pairwise_scale(source: jax.Array, target: jax.Array,
@@ -69,10 +138,10 @@ def pairwise_scale(source: jax.Array, target: jax.Array,
 
 
 def transform_pts(source: jax.Array, target: jax.Array,
-                  w: Optional[jax.Array] = None
+                  w: Optional[jax.Array] = None, method: str = "horn"
                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """(R, s, t) with target ≈ s·R@source + t  (d3_utils.py:223-234)."""
-    R = kabsch_rotation(source, target, w)
+    R = kabsch_rotation(source, target, w, method=method)
     s = pairwise_scale(source, target, w)
     t = _wmean(target, w) - s * (R @ _wmean(source, w))
     return R, s, t

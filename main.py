@@ -1,0 +1,236 @@
+"""CLI driver — train / predict / fit poses / evaluate.
+
+The TPU-native equivalent of the reference entry points
+(reference: main.py, evaluation/pose_multi_process.py, evaluation.sh):
+
+  python main.py train   --item=eyeglasses --nocs_type=ancsh
+  python main.py test    --item=eyeglasses --nocs_type=ancsh --domain=unseen
+  python main.py pose    --item=eyeglasses --domain=unseen
+  python main.py eval    --item=eyeglasses --domain=unseen
+  python main.py demo    --synthetic        # no dataset needed
+
+With --synthetic, frames come from the procedural generator
+(data/synthetic.py) so every stage runs end-to-end with no external
+dataset.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def build_config(args):
+    from articulated_pose_tpu.config import load_config
+    from articulated_pose_tpu.registry import get_category
+
+    overrides = {}
+    if args.config:
+        pass
+    spec = get_category(args.item)
+    overrides["category"] = args.item
+    overrides["nocs_type"] = args.nocs_type
+    overrides["n_max_parts"] = spec.num_parts
+    if args.data_root:
+        overrides["data_root"] = args.data_root
+    if args.batch_size:
+        overrides["batch_size"] = args.batch_size
+    if args.num_points:
+        overrides["num_points"] = args.num_points
+    cfg = load_config(args.config, **overrides)
+    return cfg, spec
+
+
+def make_datasets(args, cfg, spec, mode: str, domain=None):
+    if args.synthetic:
+        from articulated_pose_tpu.data.batcher import BatchIterator
+        from articulated_pose_tpu.data.synthetic import SyntheticArticulated
+
+        gen = SyntheticArticulated(
+            n_parts=spec.num_parts, points_per_part=400,
+            joint_types=list(spec.joint_types), seed=0)
+        n = args.synthetic_frames
+        rng = np.random.RandomState(0 if mode == "train" else 1)
+        samples = [gen.frame(rng, num_points=cfg.num_points,
+                             n_max_parts=cfg.n_max_parts,
+                             nocs_type="AC" if cfg.is_mixed else "A")
+                   for _ in range(n)]
+        frames = [s for s, _ in samples]
+        gts = [g for _, g in samples]
+        it = BatchIterator(n, lambda i: frames[i], cfg.batch_size,
+                           shuffle=(mode == "train"), seed=0)
+        it.basenames = [f"synth_{mode}_{i}" for i in range(n)]
+        it.frame_gts = gts
+        it.generator = gen
+        return it
+    from articulated_pose_tpu.data.hdf5_dataset import HDF5Dataset
+
+    ds = HDF5Dataset(cfg.data_root, cfg.category, mode=mode,
+                     num_expr=cfg.num_expr, domain=domain,
+                     num_points=cfg.num_points, n_max_parts=cfg.n_max_parts,
+                     batch_size=cfg.batch_size,
+                     nocs_type="AC" if cfg.is_mixed else "A",
+                     fixed_order=(mode != "train"))
+    it = ds.iterator(shuffle=(mode == "train"))
+    it.basenames = ds.basenames
+    return it
+
+
+def cmd_train(args):
+    import jax
+
+    from articulated_pose_tpu.models.ancsh import build_model
+    from articulated_pose_tpu.train.trainer import Trainer
+
+    cfg, spec = build_config(args)
+    model = build_model(cfg)
+    train_it = make_datasets(args, cfg, spec, "train")
+    val_its = []
+    if not args.synthetic:
+        val_its = [make_datasets(args, cfg, spec, "test", domain="seen"),
+                   make_datasets(args, cfg, spec, "test", domain="unseen")]
+    work = args.work_dir or os.path.join(cfg.experiment_dir, cfg.category,
+                                         cfg.nocs_type)
+    tr = Trainer(model, cfg, work_dir=work)
+    resumed = tr.maybe_restore()
+    print(f"work_dir={work} resumed_step={resumed}")
+    out = tr.fit(train_it, val_its, n_epochs=args.epochs,
+                 max_steps=args.max_steps)
+    print("final:", json.dumps({k: round(float(v), 5) for k, v in out.items()}))
+
+
+def cmd_test(args):
+    """Run prediction and dump per-frame h5 in the reference schema."""
+    import jax
+
+    from articulated_pose_tpu.models.ancsh import build_model
+    from articulated_pose_tpu.train.trainer import Trainer
+    from articulated_pose_tpu.utils.prediction_io import save_batch_predictions
+
+    cfg, spec = build_config(args)
+    model = build_model(cfg)
+    test_it = make_datasets(args, cfg, spec, "test", domain=args.domain)
+    work = args.work_dir or os.path.join(cfg.experiment_dir, cfg.category,
+                                         cfg.nocs_type)
+    tr = Trainer(model, cfg, work_dir=work)
+    tr.maybe_restore()
+    save_dir = os.path.join(work, "test_pred")
+    names = list(test_it.basenames)
+    lo = 0
+    for batch in test_it:
+        pred = tr.predict(batch)
+        bs = batch["P"].shape[0]
+        save_batch_predictions(pred, batch, names[lo:lo + bs], save_dir)
+        lo += bs
+    print(f"wrote {lo} prediction files to {save_dir}")
+
+
+def cmd_pose_eval(args, do_pose=True):
+    """Pose fitting + evaluation in one pass (synthetic path has exact GT)."""
+    import jax
+    import jax.numpy as jnp
+
+    from articulated_pose_tpu.eval.pipeline import compute_gt_poses, evaluate_fits
+    from articulated_pose_tpu.models.ancsh import build_model
+    from articulated_pose_tpu.pose.pipeline import PoseFitConfig, fit_frame_batch
+    from articulated_pose_tpu.train.trainer import Trainer
+    from articulated_pose_tpu.utils import transforms as trn
+
+    cfg, spec = build_config(args)
+    model = build_model(cfg)
+    test_it = make_datasets(args, cfg, spec, "test", domain=args.domain)
+    work = args.work_dir or os.path.join(cfg.experiment_dir, cfg.category,
+                                         cfg.nocs_type)
+    tr = Trainer(model, cfg, work_dir=work)
+    tr.maybe_restore()
+    pose_cfg = PoseFitConfig(
+        n_parts=cfg.n_max_parts, niter_part=cfg.ransac_niter_part,
+        niter_joint=cfg.ransac_niter_joint, inlier_th=cfg.ransac_inlier_th,
+        joint_types=tuple(spec.joint_types),
+        use_gt_association=cfg.use_gt_joint_association)
+    key = jax.random.PRNGKey(cfg.seed)
+    fits, gts = [], []
+    nocs_pred_l, nocs_gt_l, cls_l = [], [], []
+    fi = 0
+    for batch in test_it:
+        pred = tr.predict(batch)
+        pose_pred = {k: jnp.asarray(pred[k]) for k in
+                     ("W", "nocs_per_point", "joint_axis_per_point",
+                      "index_per_point") if k in pred}
+        out = jax.device_get(fit_frame_batch(
+            pose_pred, jnp.asarray(batch["P"]), key, pose_cfg))
+        B = batch["P"].shape[0]
+        prefix = "nonlinear" if ("nonlinear_R" in out and not args.baseline_only) \
+            else "baseline"
+        for i in range(B):
+            fits.append({"R": out[f"{prefix}_R"][i], "s": out[f"{prefix}_s"][i],
+                         "t": out[f"{prefix}_t"][i]})
+            cls = batch["cls_gt"][i].astype(int)
+            if args.synthetic:
+                gt_frame = test_it.frame_gts[fi]
+                g = {"R": [], "s": [], "t": []}
+                for j in range(cfg.n_max_parts):
+                    s_, R_, t_ = trn.decompose_similarity(gt_frame.rt_nocs2cam[j])
+                    g["R"].append(R_)
+                    g["s"].append(s_)
+                    g["t"].append(t_)
+            else:
+                parts = compute_gt_poses(batch["nocs_gt"][i], batch["P"][i],
+                                         cls, cfg.n_max_parts)
+                g = {"R": [p["R"] if p else None for p in parts],
+                     "s": [p["s"] if p else None for p in parts],
+                     "t": [p["t"] if p else None for p in parts]}
+            gts.append(g)
+            nocs_pred_l.append(pred["nocs_per_point"][i])
+            nocs_gt_l.append(batch["nocs_gt"][i])
+            cls_l.append(cls)
+            fi += 1
+    report = evaluate_fits(fits, gts, cfg.n_max_parts, nocs_pred=nocs_pred_l,
+                           nocs_gt=nocs_gt_l, cls_list=cls_l)
+    print(report.summary())
+    out_path = os.path.join(work, f"eval_{args.domain or 'all'}.json")
+    os.makedirs(work, exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump({"per_part": report.per_part, "overall": report.overall,
+                   "n_frames": report.n_frames, "n_dropped": report.n_dropped},
+                  f, indent=1)
+    print("wrote", out_path)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("command", choices=["train", "test", "pose", "eval", "demo"])
+    ap.add_argument("--item", default="eyeglasses")
+    ap.add_argument("--nocs_type", default="ancsh", choices=["ancsh", "npcs"])
+    ap.add_argument("--domain", default=None, choices=[None, "seen", "unseen"])
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--data_root", default=None)
+    ap.add_argument("--work_dir", default=None)
+    ap.add_argument("--batch_size", type=int, default=None)
+    ap.add_argument("--num_points", type=int, default=None)
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--max_steps", type=int, default=None)
+    ap.add_argument("--synthetic", action="store_true",
+                    help="use the procedural generator instead of HDF5 data")
+    ap.add_argument("--synthetic_frames", type=int, default=64)
+    ap.add_argument("--baseline_only", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.command == "train":
+        cmd_train(args)
+    elif args.command == "test":
+        cmd_test(args)
+    elif args.command in ("pose", "eval"):
+        cmd_pose_eval(args)
+    elif args.command == "demo":
+        args.synthetic = True
+        args.max_steps = args.max_steps or 30
+        cmd_train(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""HDF5 dataset + prediction I/O round-trip tests (reference schema)."""
+
+import numpy as np
+import pytest
+
+from articulated_pose_tpu.data.hdf5_dataset import (
+    HDF5Dataset,
+    filter_domain,
+    instance_of,
+)
+from articulated_pose_tpu.data.synthetic import SyntheticArticulated
+from articulated_pose_tpu.registry import get_category
+from articulated_pose_tpu.utils.prediction_io import (
+    load_prediction,
+    save_batch_predictions,
+)
+
+h5py = pytest.importorskip("h5py")
+
+
+@pytest.fixture(scope="module")
+def disk_dataset(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synth_data"))
+    gen = SyntheticArticulated(n_parts=3, points_per_part=150, seed=0)
+    train, test = gen.export_hdf5(root, "eyeglasses", n_instances=2,
+                                  frames_per_instance=4)
+    return root, gen, train, test
+
+
+class TestHDF5Dataset:
+    def test_load_train(self, disk_dataset):
+        root, gen, train, test = disk_dataset
+        ds = HDF5Dataset(root, "eyeglasses", mode="train", num_points=256,
+                         batch_size=2)
+        assert len(ds) == len(train) == 6
+        sample = ds.fetch(0)
+        assert sample["P"].shape == (256, 3)
+        assert sample["nocs_gt"].shape == (256, 3)
+        assert sample["mask_array"].shape == (256, 3)
+        # NOCS labels are in the unit cube
+        assert sample["nocs_gt"].min() >= -1e-5
+        assert sample["nocs_gt"].max() <= 1 + 1e-5
+
+    def test_batcher_integration(self, disk_dataset):
+        root, gen, train, test = disk_dataset
+        ds = HDF5Dataset(root, "eyeglasses", mode="train", num_points=128,
+                         batch_size=3)
+        batches = list(ds.iterator())
+        assert batches[0]["P"].shape == (3, 128, 3)
+
+    def test_disk_matches_inmemory_labeling(self, disk_dataset):
+        """The exported canon coords are identical per instance, so NOCS
+        labels from disk must land in the same per-part boxes as the
+        in-memory generator's."""
+        root, gen, train, test = disk_dataset
+        ds = HDF5Dataset(root, "eyeglasses", mode="train", num_points=512,
+                         batch_size=1, fixed_order=True)
+        sample = ds.fetch(0)
+        mem_sample, _ = gen.frame(np.random.RandomState(0), num_points=512)
+        for j in range(3):
+            sel_d = sample["cls_gt"].astype(int) == j
+            sel_m = mem_sample["cls_gt"].astype(int) == j
+            lo_d = sample["nocs_gt"][sel_d].min(0)
+            lo_m = mem_sample["nocs_gt"][sel_m].min(0)
+            np.testing.assert_allclose(lo_d, lo_m, atol=0.06)
+
+    def test_domain_filter(self):
+        spec = get_category("eyeglasses")  # test_list: 0007, 0016, 0036
+        files = ["hdf5/eyeglasses/0001/0/0.h5", "hdf5/eyeglasses/0007/0/0.h5"]
+        assert instance_of(files[1]) == "0007"
+        assert filter_domain(files, spec, "seen") == files[:1]
+        assert filter_domain(files, spec, "unseen") == files[1:]
+        assert filter_domain(files, spec, None) == files
+
+
+class TestPredictionIO:
+    def test_roundtrip(self, tmp_path, disk_dataset):
+        root, gen, train, test = disk_dataset
+        B, N, K = 2, 64, 3
+        rng = np.random.RandomState(0)
+        pred = {
+            "W": rng.rand(B, N, K).astype(np.float32),
+            "nocs_per_point": rng.rand(B, N, 3 * K).astype(np.float32),
+            "gocs_per_point": rng.rand(B, N, 3 * K).astype(np.float32),
+            "confi_per_point": rng.rand(B, N, 1).astype(np.float32),
+            "heatmap_per_point": rng.rand(B, N, 1).astype(np.float32),
+            "unitvec_per_point": rng.rand(B, N, 3).astype(np.float32),
+            "joint_axis_per_point": rng.rand(B, N, 3).astype(np.float32),
+            "index_per_point": rng.rand(B, N, K).astype(np.float32),
+        }
+        batch, _ = gen.batch(rng, B, num_points=N)
+        paths = save_batch_predictions(pred, batch, ["a_0_1", "b_0_2"],
+                                       str(tmp_path))
+        assert len(paths) == 2
+        loaded = load_prediction(paths[0])
+        np.testing.assert_allclose(loaded["instance_per_point"], pred["W"][0])
+        np.testing.assert_allclose(loaded["nocs_per_point"],
+                                   pred["nocs_per_point"][0])
+        np.testing.assert_allclose(loaded["P"], batch["P"][0])
+        assert "joint_cls_gt" in loaded

@@ -226,3 +226,35 @@ class TestPipeline:
         m = jnp.asarray([1.0, 1, 1, 0])
         med = np.asarray(pipeline.masked_median(x, m))
         np.testing.assert_allclose(med, [2.0, 20.0])
+
+
+class TestHornRotation:
+    def test_matches_svd_on_clean_data(self, rng):
+        for _ in range(10):
+            src = rng.rand(8, 3)
+            R_true = tr.random_rotation(rng)
+            tgt = src @ R_true.T
+            Rh = np.asarray(umeyama.kabsch_rotation(
+                jnp.asarray(src), jnp.asarray(tgt), method="horn"))
+            Rs = np.asarray(umeyama.kabsch_rotation(
+                jnp.asarray(src), jnp.asarray(tgt), method="svd"))
+            assert tr.rot_diff_degree(Rh, R_true) < 0.05
+            assert tr.rot_diff_degree(Rh, Rs) < 0.05
+
+    def test_degenerate_input_no_nan(self):
+        src = jnp.zeros((3, 3))
+        tgt = jnp.zeros((3, 3))
+        R = np.asarray(umeyama.kabsch_rotation(src, tgt, method="horn"))
+        assert np.isfinite(R).all()
+        # result is still orthonormal (a unit quaternion always maps to SO(3))
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
+
+    def test_noisy_data(self, rng):
+        src = rng.rand(100, 3)
+        R_true = tr.random_rotation(rng)
+        tgt = src @ R_true.T + rng.randn(100, 3) * 0.01
+        Rh = np.asarray(umeyama.kabsch_rotation(
+            jnp.asarray(src), jnp.asarray(tgt), method="horn"))
+        Rs = np.asarray(umeyama.kabsch_rotation(
+            jnp.asarray(src), jnp.asarray(tgt), method="svd"))
+        assert tr.rot_diff_degree(Rh, Rs) < 0.1
