@@ -14,14 +14,18 @@ vs_baseline = value / 10000.
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.jax_cache"))
+
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--points", type=int, default=2048)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=2)
@@ -41,19 +45,22 @@ def main():
                        dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     P = jnp.asarray(np.random.RandomState(0).rand(B, N, 3), jnp.float32)
-    variables = model.init(rng, P[:1, :256])
+    variables = model.init(rng, P)
 
     pose_cfg = PoseFitConfig(
         n_parts=K, niter_part=args.niter_part, niter_joint=args.niter_joint,
         joint_types=("revolute", "revolute"),
         lm_iters_hypo=8, lm_iters_refit=15, ransac_chunk=256)
 
+    # params are ARGUMENTS, not closure captures: closure-captured
+    # variables get baked into the program as constants, which measured
+    # ~200x slower end to end (and minutes of extra compile time).
     @jax.jit
-    def forward(P):
+    def forward(variables, P):
         return model.apply(variables, P, train=False)
 
     @jax.jit
-    def end_to_end(P, key):
+    def end_to_end(variables, P, key):
         pred = model.apply(variables, P, train=False)
         pose_pred = {
             "W": pred["W"],
@@ -64,7 +71,9 @@ def main():
         fits = fit_frame_batch(pose_pred, P, key, pose_cfg)
         return fits["baseline_R"], fits.get("nonlinear_R")
 
-    run = forward if args.skip_pose else (lambda P: end_to_end(P, jax.random.PRNGKey(1)))
+    key = jax.random.PRNGKey(1)
+    run = ((lambda P: forward(variables, P)) if args.skip_pose
+           else (lambda P: end_to_end(variables, P, key)))
 
     # warmup / compile
     for _ in range(args.warmup):
