@@ -1,0 +1,3 @@
+from articulated_pose_tpu.ops.pallas.fps import farthest_point_sample_pallas
+
+__all__ = ["farthest_point_sample_pallas"]

@@ -19,8 +19,10 @@ import time
 
 import numpy as np
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.jax_cache"))
+# NOTE: do NOT enable JAX's persistent compilation cache here — on the
+# tunneled axon TPU platform, cache-deserialized executables dispatch
+# through a path ~600x slower than freshly compiled ones (measured:
+# 0.05ms vs 31ms for the same FPS program).  Always compile fresh.
 
 
 def main():

@@ -1,0 +1,67 @@
+"""Pallas kernel tests (interpreter mode on the CPU test mesh).
+
+Real-TPU execution/parity is exercised by bench.py; here the kernels run
+in the Pallas interpreter and are validated against the FPS *invariant*
+(each pick maximizes the min distance to the picked set) rather than
+bit-exact index equality — f32 ties may legally resolve differently
+between implementations.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from articulated_pose_tpu.ops import core
+from articulated_pose_tpu.ops.pallas.fps import farthest_point_sample_pallas
+
+
+def assert_valid_fps(xyz: np.ndarray, idx: np.ndarray, rtol=1e-4):
+    """Check the FPS invariant in float64 for one (N,3) cloud."""
+    x = xyz.astype(np.float64)
+    N = x.shape[0]
+    assert idx[0] == 0
+    mind = np.full(N, np.inf)
+    for j in range(1, len(idx)):
+        d = np.sum((x - x[idx[j - 1]]) ** 2, -1)
+        mind = np.minimum(mind, d)
+        # the chosen point's running min-dist must be within tolerance of
+        # the global max (exact under f64; tolerance absorbs f32 kernels)
+        assert mind[idx[j]] >= mind.max() * (1 - rtol), (j, mind[idx[j]], mind.max())
+
+
+class TestPallasFPS:
+    def test_invariant_small(self, rng):
+        xyz = rng.rand(4, 256, 3).astype(np.float32)
+        out = np.asarray(farthest_point_sample_pallas(
+            64, jnp.asarray(xyz), 4, True))
+        for b in range(4):
+            assert_valid_fps(xyz[b], out[b])
+            assert len(set(out[b].tolist())) == 64  # picks are distinct
+
+    def test_matches_xla_mostly(self, rng):
+        xyz = rng.rand(2, 128, 3).astype(np.float32)
+        got = np.asarray(farthest_point_sample_pallas(
+            32, jnp.asarray(xyz), 2, True))
+        want = np.asarray(core.farthest_point_sample(32, jnp.asarray(xyz)))
+        # identical up to rare f32 ties
+        agreement = (got == want).mean()
+        assert agreement > 0.95, agreement
+
+    def test_padding_lanes_ignored(self, rng):
+        # N not a multiple of 128 exercises the lane-padding mask
+        xyz = rng.rand(2, 100, 3).astype(np.float32)
+        out = np.asarray(farthest_point_sample_pallas(
+            16, jnp.asarray(xyz), 2, True))
+        assert (out < 100).all()
+        for b in range(2):
+            assert_valid_fps(xyz[b], out[b])
+
+    def test_batch_padding(self, rng):
+        # B not a multiple of block_b exercises batch padding
+        xyz = rng.rand(3, 128, 3).astype(np.float32)
+        out = np.asarray(farthest_point_sample_pallas(
+            8, jnp.asarray(xyz), 2, True))
+        assert out.shape == (3, 8)
+        for b in range(3):
+            assert_valid_fps(xyz[b], out[b])
