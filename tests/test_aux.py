@@ -1,0 +1,75 @@
+"""Tests for augmentations, the direct joint-regression baseline, and vis."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from articulated_pose_tpu.data import augment
+from articulated_pose_tpu.models.joint_regression import (
+    DirectJointRegression,
+    direct_joint_loss,
+)
+from articulated_pose_tpu.utils import vis
+
+
+class TestAugment:
+    def test_rotation_preserves_norms(self, rng):
+        pts = rng.rand(100, 3)
+        for fn in (augment.rotate_point_cloud_y, augment.rotate_perturbation):
+            out = fn(pts, rng)
+            np.testing.assert_allclose(np.linalg.norm(out, axis=1),
+                                       np.linalg.norm(pts, axis=1), atol=1e-9)
+
+    def test_jitter_clipped(self, rng):
+        pts = np.zeros((50, 3))
+        out = augment.jitter_point_cloud(pts, rng, sigma=1.0, clip=0.05)
+        assert np.abs(out).max() <= 0.05 + 1e-12
+
+    def test_scale_shift(self, rng):
+        pts = rng.rand(20, 3)
+        out = augment.random_scale_point_cloud(pts, rng, 0.5, 0.5)
+        np.testing.assert_allclose(out, pts * 0.5)
+        out = augment.shift_point_cloud(pts, rng, 0.0)
+        np.testing.assert_allclose(out, pts)
+
+    def test_dropout_static_shape(self, rng):
+        pts = rng.rand(30, 3)
+        out = augment.random_point_dropout(pts, rng)
+        assert out.shape == pts.shape
+
+
+class TestDirectJointRegression:
+    def test_forward_and_loss(self, rng):
+        B, N, K = 2, 128, 3
+        P = jnp.asarray(rng.rand(B, N, 3), jnp.float32)
+        model = DirectJointRegression(n_max_parts=K)
+        params = model.init(jax.random.PRNGKey(0), P)
+        pred = model.apply(params, P)
+        assert len(pred["joint_params"]) == K - 1
+        axis, orth, dist = pred["joint_params"][0]
+        assert axis.shape == (B, 3) and dist.shape == (B, 1)
+        gt = jnp.asarray(rng.rand(B, K, 7), jnp.float32)
+        losses = direct_joint_loss(pred, gt)
+        assert set(losses) == {"axis_loss", "orth_loss", "dist_loss"}
+        assert np.isfinite(np.asarray(losses["axis_loss"])).all()
+
+
+class TestVis:
+    def test_plot3d_and_arrows(self, rng, tmp_path):
+        pts = rng.rand(50, 3)
+        vis.plot3d_pts([[pts, pts + 1]], [["a", "b"]], title="t",
+                       save_path=os.path.join(str(tmp_path), "p.png"))
+        vis.plot_arrows(pts, rng.rand(50, 3) * 0.1,
+                        joint={"point": [0, 0, 0], "axis": [0, 0, 1]},
+                        save_path=os.path.join(str(tmp_path), "a.png"))
+        vis.hist_show([rng.rand(100)], ["err"],
+                      save_path=os.path.join(str(tmp_path), "h.png"))
+        from articulated_pose_tpu.eval.metrics import get_3d_bbox
+        vis.plot_bbox(os.path.join(str(tmp_path), "b.png"),
+                      get_3d_bbox([1, 1, 1]), pts)
+        for f in ("p.png", "a.png", "h.png", "b.png"):
+            assert os.path.getsize(os.path.join(str(tmp_path), f)) > 0
