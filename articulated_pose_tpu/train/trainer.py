@@ -152,16 +152,57 @@ class Trainer:
         last_metrics["elapsed_s"] = time.time() - start
         return last_metrics
 
-    def validate(self, val_data: Iterable) -> Dict[str, float]:
+    def validate(self, val_data: Iterable,
+                 save_predictions: bool = False) -> Dict[str, float]:
+        """Average metrics over a validation set; optionally dump per-frame
+        prediction h5 files (reference lib/network.py:257-316) into
+        val_pred/step<N>/ and GC old step dirs keeping
+        config.val_prediction_n_keep (reference lib/network.py:245-255)."""
         sums: Dict[str, float] = {}
         n = 0
+        save_dir = None
+        basenames = list(getattr(val_data, "basenames", []))
+        if save_predictions:
+            save_dir = os.path.join(self.work_dir, "val_pred",
+                                    f"step{int(self.state.step)}")
         for batch in device_prefetch(val_data, size=2):
-            _, metrics = self.eval_step(self.state, batch)
+            pred, metrics = self.eval_step(self.state, batch)
             bs = batch["P"].shape[0]
+            if save_dir is not None:
+                from articulated_pose_tpu.utils.prediction_io import (
+                    save_batch_predictions)
+
+                names = (basenames[n:n + bs] if len(basenames) >= n + bs
+                         else [f"frame_{n + i}" for i in range(bs)])
+                save_batch_predictions(jax.device_get(pred),
+                                       {k: np.asarray(v) for k, v in batch.items()},
+                                       names, save_dir)
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + float(np.asarray(v)) * bs
             n += bs
+        if save_dir is not None:
+            self._gc_val_predictions()
         return {k: v / max(n, 1) for k, v in sums.items()}
+
+    def _gc_val_predictions(self):
+        """Keep only the newest val_prediction_n_keep step dirs."""
+        import re
+        import shutil
+
+        n_keep = self.config.val_prediction_n_keep
+        if n_keep == -1:
+            return
+        root = os.path.join(self.work_dir, "val_pred")
+        if not os.path.isdir(root):
+            return
+        dirs = []
+        for d in os.listdir(root):
+            m = re.fullmatch(r"step(\d+)", d)
+            if m and os.path.isdir(os.path.join(root, d)):
+                dirs.append((int(m.group(1)), d))
+        dirs.sort()
+        for _, d in dirs[:-n_keep] if n_keep else dirs:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
     def predict(self, batch: Dict) -> Dict:
         pred, _ = self.eval_step(self.state, batch)

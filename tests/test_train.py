@@ -149,3 +149,25 @@ class TestTrainer:
         tr = Trainer(model, cfg, example_batch=batch, work_dir=str(tmp_path))
         vm = tr.validate(data)
         assert np.isfinite(vm["total_loss"])
+
+    def test_validate_saves_predictions_and_gc(self, tmp_path):
+        from articulated_pose_tpu.train.trainer import Trainer
+
+        cfg, model, state, batch = tiny_setup(batch=4, num_points=64)
+        cfg = cfg.replace(val_prediction_n_keep=1)
+        gen = SyntheticArticulated(n_parts=3, points_per_part=100, seed=0)
+        samples = [gen.frame(np.random.RandomState(i), num_points=64)[0]
+                   for i in range(4)]
+        data = BatchIterator(4, lambda i: samples[i], batch_size=4, seed=0,
+                             shuffle=False)
+        data.basenames = [f"f{i}" for i in range(4)]
+        tr = Trainer(model, cfg, example_batch=batch, work_dir=str(tmp_path))
+        tr.validate(data, save_predictions=True)
+        import os
+        d0 = os.path.join(str(tmp_path), "val_pred", "step0")
+        assert os.path.exists(os.path.join(d0, "f0.h5"))
+        # advance step and validate again: old dir GC'd (n_keep=1)
+        tr.state = tr.state.replace(step=tr.state.step + 7)
+        tr.validate(data, save_predictions=True)
+        assert not os.path.exists(d0)
+        assert os.path.exists(os.path.join(str(tmp_path), "val_pred", "step7"))
