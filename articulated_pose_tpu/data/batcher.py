@@ -66,6 +66,32 @@ class BatchIterator:
             yield {k: v[sel] for k, v in self._cache.items()}
 
 
+class StreamingIterator:
+    """Infinite stream of freshly generated batches.
+
+    Each epoch-sized pass yields `batches_per_epoch` batches built by
+    `make_sample(rng)` — no cache, so synthetic training never sees the
+    same frame twice (removes the fixed-epoch overfitting of the cached
+    BatchIterator for procedural data).
+    """
+
+    def __init__(self, make_sample, batch_size: int,
+                 batches_per_epoch: int = 50, seed: int = 0):
+        self.make_sample = make_sample
+        self.batch_size = batch_size
+        self.batches_per_epoch = batches_per_epoch
+        self._rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return self.batches_per_epoch
+
+    def __iter__(self):
+        for _ in range(self.batches_per_epoch):
+            samples = [self.make_sample(self._rng)
+                       for _ in range(self.batch_size)]
+            yield {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
 def device_prefetch(iterator, size: int = 2, sharding=None):
     """Double-buffered host→device transfer.
 

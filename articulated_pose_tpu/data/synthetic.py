@@ -45,10 +45,15 @@ class SyntheticArticulated:
     """
 
     def __init__(self, n_parts: int = 3, points_per_part: int = 512,
-                 joint_types: Optional[Sequence[str]] = None, seed: int = 0):
+                 joint_types: Optional[Sequence[str]] = None, seed: int = 0,
+                 full_rotation: bool = True):
         self.n_parts = n_parts
         self.points_per_part = points_per_part
         self.joint_types = list(joint_types or ["revolute"] * (n_parts - 1))
+        # full_rotation=False restricts camera poses to the reference
+        # renderer's yaw/pitch band (tools/render_synthetic.py:116-127)
+        # instead of uniform SO(3) — a much easier learning problem.
+        self.full_rotation = full_rotation
         assert len(self.joint_types) == n_parts - 1
         rng = np.random.RandomState(seed)
 
@@ -117,7 +122,13 @@ class SyntheticArticulated:
         art = self.articulation_transforms(states)
 
         s_cam = rng.uniform(0.8, 1.2)
-        R_cam = tr.random_rotation(rng)
+        if self.full_rotation:
+            R_cam = tr.random_rotation(rng)
+        else:
+            yaw = rng.uniform(0, 2 * np.pi)
+            pitch = rng.uniform(np.radians(-75), np.radians(-15))
+            R_cam = (tr.axis_angle_matrix(np.array([1.0, 0, 0]), pitch)
+                     @ tr.axis_angle_matrix(np.array([0.0, 0, 1]), yaw))
         t_cam = rng.uniform(-0.5, 0.5, size=3)
         cam = tr.similarity(s_cam, R_cam, t_cam)
 

@@ -140,3 +140,26 @@ class TestBatcher:
         assert gt["cls_per_point"].dtype == np.int32
         assert "gocs_per_point" in gt
         assert gt["mask_array_per_point"].shape == (2, 128, 3)
+
+
+class TestStreaming:
+    def test_streaming_iterator_fresh_batches(self):
+        from articulated_pose_tpu.data.batcher import StreamingIterator
+
+        gen = SyntheticArticulated(n_parts=2, points_per_part=100, seed=0)
+        it = StreamingIterator(
+            lambda rng: gen.frame(rng, num_points=64)[0],
+            batch_size=2, batches_per_epoch=3, seed=0)
+        e1 = list(it)
+        e2 = list(it)
+        assert len(e1) == 3 and e1[0]["P"].shape == (2, 64, 3)
+        # fresh data every epoch
+        assert not np.allclose(e1[0]["P"], e2[0]["P"])
+
+    def test_restricted_camera(self):
+        gen = SyntheticArticulated(n_parts=2, points_per_part=100, seed=0,
+                                   full_rotation=False)
+        sample, gt = gen.frame(np.random.RandomState(0), num_points=64)
+        assert sample["P"].shape == (64, 3)
+        s, R, t = tr.decompose_similarity(gt.rt_nocs2cam[0])
+        assert np.isfinite(R).all()
