@@ -127,10 +127,13 @@ class Trainer:
         n_epochs = n_epochs if n_epochs is not None else cfg.n_epochs
         start = time.time()
         last_metrics: Dict[str, float] = {}
+        # host-side step counter: reading state.step would force a device
+        # sync every iteration and serialize the dispatch pipeline
+        step = int(self.state.step)
         for epoch in range(1, n_epochs + 1):
             for batch in device_prefetch(train_data, size=2):
                 self.state, metrics = self.train_step(self.state, batch, self.rng)
-                step = int(self.state.step)
+                step += 1
                 if step % log_every == 0 or step == 1:
                     last_metrics = {k: float(np.asarray(v)) for k, v in metrics.items()}
                     self.logger.log(step, last_metrics)

@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--parts", type=int, default=3)
     ap.add_argument("--noise", type=float, default=0.005)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--full-rotation", action="store_true",
+                    help="uniform SO(3) cameras (harder; default is the "
+                         "reference renderer's yaw/pitch band)")
     ap.add_argument("--work", default="/tmp/ancsh_synth_e2e")
     args = ap.parse_args()
 
@@ -54,21 +57,25 @@ def main():
                         decay_step=10**8, bn_decay_step=10**8,
                         val_interval=0, snapshot_interval=0)
     gen = SyntheticArticulated(n_parts=K, points_per_part=500,
-                               joint_types=joint_types, seed=0)
+                               joint_types=joint_types, seed=0,
+                               full_rotation=args.full_rotation)
 
-    print("generating data...", flush=True)
-    rng_train = np.random.RandomState(0)
-    frames = [gen.frame(rng_train, num_points=args.points,
-                        noise=args.noise)[0] for _ in range(args.frames)]
-    data = BatchIterator(args.frames, lambda i: frames[i], args.batch, seed=0)
+    from articulated_pose_tpu.data.batcher import StreamingIterator
+
+    print("generating data (streaming)...", flush=True)
+    data = StreamingIterator(
+        lambda rng: gen.frame(rng, num_points=args.points,
+                              noise=args.noise)[0],
+        batch_size=args.batch, batches_per_epoch=100, seed=0)
 
     rng_test = np.random.RandomState(10_000)
     test = [gen.frame(rng_test, num_points=args.points, noise=args.noise)
             for _ in range(args.test_frames)]
 
+    example = gen.frame(np.random.RandomState(1), num_points=args.points)[0]
     model = build_model(cfg)
     state = create_train_state(model, cfg, jax.random.PRNGKey(0),
-                               frames[0]["P"][None])
+                               example["P"][None])
     train_step = make_train_step(cfg, donate=False)
     rng = jax.random.PRNGKey(1)
 
@@ -78,7 +85,7 @@ def main():
     while step < args.steps:
         for batch in device_prefetch(data, size=2):
             state, metrics = train_step(state, batch, rng)
-            step = int(state.step)
+            step += 1
             if step % 200 == 0 or step == 1:
                 m = {k: round(float(np.asarray(v)), 4)
                      for k, v in metrics.items() if k != "grads_finite"}

@@ -73,3 +73,61 @@ class TestVis:
                       get_3d_bbox([1, 1, 1]), pts)
         for f in ("p.png", "a.png", "h.png", "b.png"):
             assert os.path.getsize(os.path.join(str(tmp_path), f)) > 0
+
+
+class TestNaocs:
+    def test_part_scale_translation_exact(self, rng):
+        import jax.numpy as jnp
+        from articulated_pose_tpu.pose.naocs import part_scale_translation
+
+        nocs = rng.rand(100, 3)
+        s_true, t_true = 0.4, np.array([0.1, 0.3, -0.2])
+        gocs = s_true * nocs + t_true
+        w = np.ones(100); w[50:] = 0
+        gocs[50:] += 5.0  # corrupt masked-out rows
+        s, t = part_scale_translation(jnp.asarray(nocs), jnp.asarray(gocs),
+                                      jnp.asarray(w))
+        np.testing.assert_allclose(float(s), s_true, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(t), t_true, atol=1e-5)
+
+    def test_naocs_pred_view(self, rng):
+        import jax.numpy as jnp
+        from articulated_pose_tpu.pose.naocs import naocs_pred_view
+
+        pred = {"W": jnp.zeros((4, 3)),
+                "gocs_per_point": jnp.asarray(rng.rand(4, 3), jnp.float32)}
+        out = naocs_pred_view(pred, 2)
+        assert out["nocs_per_point"].shape == (4, 6)
+        np.testing.assert_allclose(np.asarray(out["nocs_per_point"][:, :3]),
+                                   np.asarray(out["nocs_per_point"][:, 3:]))
+
+
+class TestPcUtil:
+    def test_volume_roundtrip(self, rng):
+        from articulated_pose_tpu.utils import pc_util
+
+        pts = rng.rand(200, 3) * 1.6 - 0.8
+        vol = pc_util.point_cloud_to_volume(pts, vsize=16)
+        assert vol.sum() > 0
+        back = pc_util.volume_to_point_cloud(vol)
+        # every voxel center is within half a diagonal of some input point
+        d = np.min(np.linalg.norm(back[:, None] - pts[None], axis=-1), axis=1)
+        assert d.max() < np.sqrt(3) * (2 / 16)
+
+    def test_image_projection(self, rng):
+        from articulated_pose_tpu.utils import pc_util
+
+        img = pc_util.point_cloud_to_image(rng.rand(100, 3) - 0.5, imgsize=32)
+        assert img.shape == (32, 32) and img.max() == 1.0
+
+
+class TestStepTimer:
+    def test_stages(self):
+        from articulated_pose_tpu.utils.profiling import StepTimer
+
+        t = StepTimer()
+        for _ in range(5):
+            with t.stage("a"):
+                pass
+        s = t.summary()
+        assert s["a"]["count"] == 5 and s["a"]["mean_ms"] >= 0
