@@ -119,6 +119,42 @@ def lm_refine_joint(rotvec0: jax.Array, rotvec1: jax.Array,
     return p[:3], p[3:]
 
 
+def alternating_joint_rotations(x0, y0, w0, x1, y1, w1, joint_dir,
+                                iters: int = 20):
+    """Coordinate-descent variant of the coupled rotation solve.
+
+    Rebuild of estimateSimilarityUmeyamaCoords' EM-style alternation
+    (reference: lib/aligning.py:214-295 and the `isalternate` branch of
+    parallel_ancsh_pose.py:158-172): alternately re-fit R0 with the joint
+    axis rotated by R1 appended as an extra correspondence, then R1 with
+    the axis rotated by R0, until (here: for a fixed number of) sweeps.
+
+    x*/y* (P, 3) centered masked buffers, w* (P,) weights.  The joint row
+    is weighted by min(Σw0, Σw1) to mirror the reference's replicated
+    joint_points rows.
+    """
+    from articulated_pose_tpu.pose import umeyama
+
+    mult = jnp.minimum(jnp.sum(w0), jnp.sum(w1))
+    a = joint_dir[None, :]
+
+    def aug_fit(x, y, w, axis_target):
+        xa = jnp.concatenate([x, a], axis=0)
+        ya = jnp.concatenate([y, axis_target], axis=0)
+        wa = jnp.concatenate([w, jnp.full((1,), mult, w.dtype)], axis=0)
+        return umeyama.kabsch_rotation(xa, ya, wa)
+
+    def body(_, carry):
+        R0, R1 = carry
+        R0 = aug_fit(x0, y0, w0, (R1 @ a.T).T)
+        R1 = aug_fit(x1, y1, w1, (R0 @ a.T).T)
+        return R0, R1
+
+    R0 = umeyama.kabsch_rotation(x0, y0, w0)
+    R1 = umeyama.kabsch_rotation(x1, y1, w1)
+    return jax.lax.fori_loop(0, iters, body, (R0, R1))
+
+
 class JointFit(NamedTuple):
     R0: jax.Array
     s0: jax.Array

@@ -163,3 +163,17 @@ class TestStreaming:
         assert sample["P"].shape == (64, 3)
         s, R, t = tr.decompose_similarity(gt.rt_nocs2cam[0])
         assert np.isfinite(R).all()
+
+
+class TestMeshSampling:
+    def test_area_weighted(self):
+        from articulated_pose_tpu.data.synthetic import sample_mesh_points
+
+        # two triangles: one 100x larger; samples should concentrate there
+        verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0],
+                          [10, 0, 0], [30, 0, 0], [10, 20, 0]], float)
+        faces = np.array([[0, 1, 2], [3, 4, 5]])
+        pts = sample_mesh_points(verts, faces, 1000, np.random.RandomState(0))
+        frac_big = (pts[:, 0] >= 5).mean()
+        assert frac_big > 0.95
+        assert np.allclose(pts[:, 2], 0)

@@ -258,3 +258,22 @@ class TestHornRotation:
         Rs = np.asarray(umeyama.kabsch_rotation(
             jnp.asarray(src), jnp.asarray(tgt), method="svd"))
         assert tr.rot_diff_degree(Rh, Rs) < 0.1
+
+
+class TestAlternatingJoint:
+    def test_recovers_shared_axis_rotations(self, rng):
+        axis = np.array([0.0, 0.0, 1.0])
+        R_cam = tr.random_rotation(rng)
+        R0 = R_cam
+        R1 = R_cam @ tr.axis_angle_matrix(axis, 0.6)
+        src0, src1 = rng.rand(40, 3), rng.rand(40, 3)
+        y0 = (src0 - src0.mean(0)) @ R0.T
+        y1 = (src1 - src1.mean(0)) @ R1.T
+        x0 = src0 - src0.mean(0)
+        x1 = src1 - src1.mean(0)
+        w = jnp.ones(40)
+        Rf0, Rf1 = lm.alternating_joint_rotations(
+            jnp.asarray(x0), jnp.asarray(y0), w,
+            jnp.asarray(x1), jnp.asarray(y1), w, jnp.asarray(axis), iters=10)
+        assert tr.rot_diff_degree(np.asarray(Rf0), R0) < 0.5
+        assert tr.rot_diff_degree(np.asarray(Rf1), R1) < 0.5
