@@ -134,8 +134,10 @@ def cmd_pose_eval(args, do_pose=True):
     import jax
     import jax.numpy as jnp
 
-    from articulated_pose_tpu.eval.pipeline import compute_gt_poses, evaluate_fits
+    from articulated_pose_tpu.eval.pipeline import (
+        compute_gt_poses, evaluate_fits, joint_errors, vote_joint_params)
     from articulated_pose_tpu.models.ancsh import build_model
+    from articulated_pose_tpu.pose.naocs import naocs_pred_view
     from articulated_pose_tpu.pose.pipeline import PoseFitConfig, fit_frame_batch
     from articulated_pose_tpu.train.trainer import Trainer
     from articulated_pose_tpu.utils import transforms as trn
@@ -155,12 +157,17 @@ def cmd_pose_eval(args, do_pose=True):
     key = jax.random.PRNGKey(cfg.seed)
     fits, gts = [], []
     nocs_pred_l, nocs_gt_l, cls_l = [], [], []
+    joint_errs = []
     fi = 0
     for batch in test_it:
         pred = tr.predict(batch)
         pose_pred = {k: jnp.asarray(pred[k]) for k in
-                     ("W", "nocs_per_point", "joint_axis_per_point",
-                      "index_per_point") if k in pred}
+                     ("W", "nocs_per_point", "gocs_per_point",
+                      "joint_axis_per_point", "index_per_point") if k in pred}
+        if args.nocs == "NAOCS":
+            # NAOCS baseline fit: source coords from the gocs head
+            # (baseline_naocs.py equivalent)
+            pose_pred = naocs_pred_view(pose_pred, cfg.n_max_parts)
         out = jax.device_get(fit_frame_batch(
             pose_pred, jnp.asarray(batch["P"]), key, pose_cfg))
         B = batch["P"].shape[0]
@@ -188,10 +195,37 @@ def cmd_pose_eval(args, do_pose=True):
             nocs_pred_l.append(pred["nocs_per_point"][i])
             nocs_gt_l.append(batch["nocs_gt"][i])
             cls_l.append(cls)
+            # joint-parameter eval (eval_joint_params.py equivalent) when
+            # the joint heads and a gocs head are available
+            if args.synthetic and "gocs_per_point" in pred and \
+                    "heatmap_per_point" in pred:
+                base = {"R": g["R"][0], "s": g["s"][0], "t": g["t"][0]}
+                gt_frame = test_it.frame_gts[fi]
+                for j in range(1, cfg.n_max_parts):
+                    assoc = (np.argmax(pred["index_per_point"][i], -1) == j)
+                    line = vote_joint_params(
+                        pred["gocs_per_point"][i][:, :3],
+                        pred["unitvec_per_point"][i],
+                        pred["heatmap_per_point"][i][:, 0],
+                        pred["joint_axis_per_point"][i],
+                        assoc.astype(np.float32),
+                        # NAOCS frame shares the global normalization, so
+                        # the part-0 NOCS pose approximates the base pose
+                        base, thres_r=cfg.thres_r)
+                    if line is not None and j - 1 < len(gt_frame.joint_axes_cam):
+                        joint_errs.append(joint_errors(
+                            line, gt_frame.joint_axes_cam[j - 1],
+                            gt_frame.joint_points_cam[j - 1]))
             fi += 1
     report = evaluate_fits(fits, gts, cfg.n_max_parts, nocs_pred=nocs_pred_l,
                            nocs_gt=nocs_gt_l, cls_list=cls_l)
     print(report.summary())
+    if joint_errs:
+        ax = float(np.mean([e["axis_err_deg"] for e in joint_errs]))
+        ld = float(np.mean([e["line_dist"] for e in joint_errs]))
+        print(f"joints: axis err {ax:.2f}°  line dist {ld:.4f} ({len(joint_errs)} joints)")
+        report.overall["joint_axis_err_deg"] = ax
+        report.overall["joint_line_dist"] = ld
     out_path = os.path.join(work, f"eval_{args.domain or 'all'}.json")
     os.makedirs(work, exist_ok=True)
     with open(out_path, "w") as f:
@@ -218,6 +252,8 @@ def main(argv=None):
                     help="use the procedural generator instead of HDF5 data")
     ap.add_argument("--synthetic_frames", type=int, default=64)
     ap.add_argument("--baseline_only", action="store_true")
+    ap.add_argument("--nocs", default="NPCS", choices=["NPCS", "NAOCS"],
+                    help="pose-fit source space (NAOCS = gocs head)")
     args = ap.parse_args(argv)
 
     if args.command == "train":
