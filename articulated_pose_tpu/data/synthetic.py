@@ -129,8 +129,13 @@ class SyntheticArticulated:
 
     def frame(self, rng: np.random.RandomState, *, num_points: int = 1024,
               n_max_parts: Optional[int] = None, nocs_type: str = "AC",
-              noise: float = 0.0):
-        """Generate one frame: (sample_dict, FrameGT)."""
+              noise: float = 0.0, use_native: Optional[bool] = None):
+        """Generate one frame: (sample_dict, FrameGT).
+
+        use_native selects the C++ labeling fast path (native/) — ~10x
+        faster host-side; defaults to it when the library is available
+        and the output layout matches (nocs_type 'AC').
+        """
         K = n_max_parts or self.n_parts
         states = []
         for jt in self.joint_types:
@@ -160,9 +165,19 @@ class SyntheticArticulated:
                 p = p + rng.randn(*p.shape) * noise
             parts_pts.append(p)
 
-        sample = build_sample(parts_pts, self.parts_canon, self.joints,
-                              self.norm, num_points=num_points,
-                              n_max_parts=K, nocs_type=nocs_type, rng=rng)
+        if use_native is None:
+            from articulated_pose_tpu import native
+            use_native = nocs_type == "AC" and K == self.n_parts \
+                and native.available()
+        if use_native:
+            from articulated_pose_tpu import native
+            sample = native.build_labels_native(
+                parts_pts, self.parts_canon, self.joints, self.norm,
+                num_points=num_points, n_max_parts=K, rng=rng)
+        else:
+            sample = build_sample(parts_pts, self.parts_canon, self.joints,
+                                  self.norm, num_points=num_points,
+                                  n_max_parts=K, nocs_type=nocs_type, rng=rng)
 
         # ground-truth per-part similarity: NOCS -> input frame.
         # nocs = f_j*(X - box_center_j) + 0.5  =>  X = (nocs-0.5)/f_j + bc_j
