@@ -228,17 +228,33 @@ class DeviceSynthetic:
 
 
 def make_fused_synthetic_train_step(config, device_gen: DeviceSynthetic,
-                                    batch_size: int):
+                                    batch_size: int, steps_per_call: int = 1):
     """Train step with on-device data generation fused in: (state, key) ->
-    (state, metrics).  No host involvement at all."""
+    (state, metrics).  No host involvement at all.
+
+    steps_per_call > 1 wraps the step in a lax.scan so one dispatch runs
+    many optimizer steps — amortizing per-call latency (~10 steps/s
+    through the dev tunnel vs ~500 steps/s on-device).  Returned metrics
+    are from the last step of the window.
+    """
     from articulated_pose_tpu.train import state as state_lib
 
     base_step = state_lib.make_train_step(config, jit=False)
 
-    @jax.jit
-    def step(state, key):
+    def one(state, key):
         kd, kt = jax.random.split(jax.random.fold_in(key, state.step))
         batch, _ = device_gen.sample_batch(kd, batch_size)
         return base_step(state, batch, kt)
 
-    return step
+    if steps_per_call == 1:
+        return jax.jit(one)
+
+    @jax.jit
+    def multi(state, key):
+        def body(st, _):
+            st, metrics = one(st, key)
+            return st, metrics
+        state, ms = jax.lax.scan(body, state, None, length=steps_per_call)
+        return state, jax.tree.map(lambda a: a[-1], ms)
+
+    return multi
