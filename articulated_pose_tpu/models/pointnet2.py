@@ -26,13 +26,21 @@ Dtype = Any
 
 def sample_and_group(npoint: int, radius: float, nsample: int,
                      xyz: jax.Array, points: Optional[jax.Array],
-                     knn: bool = False, use_xyz: bool = True):
+                     knn: bool = False, use_xyz: bool = True,
+                     fps_impl: str = "xla"):
     """FPS → gather → ball-query/knn → group → center-normalize.
 
     Mirrors pointnet_util.py:29-63. xyz (B, N, 3), points (B, N, C) or None.
     Returns (new_xyz (B,M,3), new_points (B,M,S,3+C), idx, grouped_xyz).
+    fps_impl: 'xla' (lax.scan; fuses well inside large programs) or
+    'pallas' (VMEM-resident kernel, ops/pallas/fps.py).
     """
-    fps_idx = ops.farthest_point_sample(npoint, xyz)
+    if fps_impl == "pallas":
+        from articulated_pose_tpu.ops.pallas import farthest_point_sample_pallas
+
+        fps_idx = farthest_point_sample_pallas(npoint, xyz)
+    else:
+        fps_idx = ops.farthest_point_sample(npoint, xyz)
     new_xyz = ops.gather_point(xyz, fps_idx)                    # (B, M, 3)
     if knn:
         _, idx = ops.knn_point(nsample, xyz, new_xyz)
@@ -77,6 +85,7 @@ class SetAbstraction(nn.Module):
     pooling: str = "max"
     knn: bool = False
     use_xyz: bool = True
+    fps_impl: str = "xla"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -87,7 +96,7 @@ class SetAbstraction(nn.Module):
         else:
             new_xyz, new_points, idx, grouped_xyz = sample_and_group(
                 self.npoint, self.radius, self.nsample, xyz, points,
-                self.knn, self.use_xyz)
+                self.knn, self.use_xyz, fps_impl=self.fps_impl)
 
         new_points = SharedMLP(self.mlp, dtype=self.dtype, name="mlp")(
             new_points, train=train, bn_momentum=bn_momentum)   # (B, M, S, C)
@@ -143,6 +152,7 @@ class BackboneSpec:
     fp_mlps: Tuple[Tuple[int, ...], ...] = ((256, 256), (256, 128), (128, 128, 128))
     head_width: int = 128
     dropout_rate: float = 0.5
+    fps_impl: str = "xla"      # 'xla' | 'pallas' (ops/pallas/fps.py)
 
 
 class PointNet2Backbone(nn.Module):
@@ -165,7 +175,7 @@ class PointNet2Backbone(nn.Module):
             xyz, pts, _ = SetAbstraction(
                 npoint=s.sa_npoints[i], radius=s.sa_radii[i],
                 nsample=s.sa_nsamples[i], mlp=s.sa_mlps[i],
-                dtype=self.dtype, name=f"sa{i + 1}",
+                fps_impl=s.fps_impl, dtype=self.dtype, name=f"sa{i + 1}",
             )(l_xyz[-1], l_pts[-1], train=train, bn_momentum=bn_momentum)
             l_xyz.append(xyz)
             l_pts.append(pts)
