@@ -24,6 +24,7 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=6000)
+    ap.add_argument("--steps-per-call", type=int, default=25)
     ap.add_argument("--test-frames", type=int, default=64)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--points", type=int, default=1024)
@@ -62,22 +63,32 @@ def main():
     model = build_model(cfg)
     state = create_train_state(model, cfg, jax.random.PRNGKey(0),
                                np.zeros((1, args.points, 3), np.float32))
-    fused_step = make_fused_synthetic_train_step(cfg, dg, args.batch)
+    window = max(1, args.steps_per_call)
+    fused_step = make_fused_synthetic_train_step(cfg, dg, args.batch,
+                                                 steps_per_call=window)
     key = jax.random.PRNGKey(1)
 
-    print("training (fused on-device data generation)...", flush=True)
+    print(f"training (fused on-device data gen, {window} steps/dispatch)...",
+          flush=True)
     t0 = time.time()
     metrics = None
-    for step in range(1, args.steps + 1):
+    step = 0
+    while step < args.steps:
         state, metrics = fused_step(state, key)
-        if step % 500 == 0 or step == 1:
+        step += window
+        if step % 500 < window:
             m = {k: round(float(np.asarray(v)), 4)
                  for k, v in metrics.items() if k != "grads_finite"}
             print(f"step {step}: {json.dumps(m)}", flush=True)
     jax.block_until_ready(metrics)
     train_s = time.time() - t0
-    print(f"trained {args.steps} steps in {train_s:.1f}s "
-          f"({args.steps * args.batch / train_s:.0f} clouds/s)", flush=True)
+    print(f"trained {step} steps in {train_s:.1f}s "
+          f"({step * args.batch / train_s:.0f} clouds/s)", flush=True)
+
+    from articulated_pose_tpu.train.trainer import Checkpointer
+    ck = Checkpointer(os.path.join(args.work, "model"))
+    ck.save(step, state)
+    print("checkpointed to", args.work, flush=True)
 
     # ---- held-out eval: device-generated frames with exact GT -----------
     eval_step = make_eval_step(cfg)
