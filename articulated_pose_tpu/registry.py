@@ -125,8 +125,10 @@ DATASETS: Dict[str, CategorySpec] = {
         test_size=3480,
         test_list=("45841",),
         spec_list=(),
-        # base + 3 prismatic drawers (reference: lib/dataset.py:627-639)
-        joint_types=("fixed", "prismatic", "prismatic", "prismatic"),
+        # 3 prismatic drawers on the base; joint j attaches part j
+        # (reference: lib/dataset.py:627-639 — the base's own 'fixed'
+        # world joint is not a part-to-part joint)
+        joint_types=("prismatic", "prismatic", "prismatic"),
         exp="4.6",
         baseline="4.61",
         joint_baseline="5.4",

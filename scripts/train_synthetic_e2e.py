@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--points", type=int, default=1024)
     ap.add_argument("--parts", type=int, default=3)
+    ap.add_argument("--joint-types", default=None,
+                    help="comma list, e.g. prismatic,prismatic,prismatic")
     ap.add_argument("--noise", type=float, default=0.005)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--full-rotation", action="store_true",
@@ -50,7 +52,11 @@ def main():
     from articulated_pose_tpu.train.state import create_train_state, make_eval_step
 
     K = args.parts
-    joint_types = tuple(["revolute"] * (K - 1))
+    if args.joint_types:
+        joint_types = tuple(args.joint_types.split(","))
+        assert len(joint_types) == K - 1, "need n_parts-1 joint types"
+    else:
+        joint_types = tuple(["revolute"] * (K - 1))
     cfg = NetworkConfig(n_max_parts=K, num_points=args.points,
                         batch_size=args.batch, init_learning_rate=args.lr,
                         decay_step=10**8, bn_decay_step=10**8,
