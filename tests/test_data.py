@@ -177,3 +177,43 @@ class TestMeshSampling:
         frac_big = (pts[:, 0] >= 5).mean()
         assert frac_big > 0.95
         assert np.allclose(pts[:, 2], 0)
+
+
+class TestRealData:
+    def test_normalize_roundtrip(self, rng):
+        from articulated_pose_tpu.data import real
+
+        P = rng.rand(100, 3) * 5 + 2
+        Pn, c, s = real.normalize_cloud(P)
+        np.testing.assert_allclose(Pn * s + c, P, atol=1e-9)
+        np.testing.assert_allclose(Pn.mean(0), 0, atol=1e-9)
+
+    def test_denormalize_pose(self, rng):
+        from articulated_pose_tpu.data import real
+
+        # pose fitted in normalized frame maps exactly back to camera space
+        nocs = rng.rand(50, 3)
+        R = tr.random_rotation(rng)
+        s_cam, t_cam = 2.0, np.array([1.0, -2.0, 3.0])
+        P = s_cam * nocs @ R.T + t_cam
+        Pn, c, sc = real.normalize_cloud(P)
+        s_n = s_cam / sc
+        t_n = (t_cam - c) / sc
+        np.testing.assert_allclose(Pn, s_n * nocs @ R.T + t_n, atol=1e-9)
+        R2, s2, t2 = real.denormalize_pose(R, s_n, t_n, c, sc)
+        np.testing.assert_allclose(s2, s_cam, rtol=1e-9)
+        np.testing.assert_allclose(t2, t_cam, atol=1e-9)
+
+    def test_build_real_sample(self, rng):
+        from articulated_pose_tpu.data import real
+
+        P = rng.rand(300, 3)
+        cls = rng.randint(0, 2, 300)
+        out = real.build_real_sample(P, cls, num_points=128, n_max_parts=3)
+        assert out["P"].shape == (128, 3)
+        assert out["mask_array"].shape == (128, 3)
+        assert "P_center" in out and "P_scale" in out
+        # tiling path
+        out2 = real.build_real_sample(P[:40], cls[:40], num_points=128,
+                                      n_max_parts=3)
+        assert out2["P"].shape == (128, 3)
