@@ -117,7 +117,10 @@ def cmd_test(args):
     work = args.work_dir or os.path.join(cfg.experiment_dir, cfg.category,
                                          cfg.nocs_type)
     tr = Trainer(model, cfg, work_dir=work)
-    tr.maybe_restore()
+    restored = tr.maybe_restore()
+    print(f"restored checkpoint step {restored}"
+          if restored else "WARNING: no checkpoint found — predictions come "
+                           "from a randomly initialized model")
     save_dir = os.path.join(work, "test_pred")
     names = list(test_it.basenames)
     lo = 0
@@ -148,7 +151,10 @@ def cmd_pose_eval(args, do_pose=True):
     work = args.work_dir or os.path.join(cfg.experiment_dir, cfg.category,
                                          cfg.nocs_type)
     tr = Trainer(model, cfg, work_dir=work)
-    tr.maybe_restore()
+    restored = tr.maybe_restore()
+    print(f"restored checkpoint step {restored}"
+          if restored else "WARNING: no checkpoint found — evaluating a "
+                           "randomly initialized model")
     pose_cfg = PoseFitConfig(
         n_parts=cfg.n_max_parts, niter_part=cfg.ransac_niter_part,
         niter_joint=cfg.ransac_niter_joint, inlier_th=cfg.ransac_inlier_th,
