@@ -1,0 +1,45 @@
+"""CLI surface smoke tests (subprocess, tiny sizes, CPU)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(*args, timeout=900):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "main.py"), *args],
+        capture_output=True, text=True, timeout=timeout, env=env, cwd=REPO)
+
+
+@pytest.mark.slow
+class TestCLI:
+    def test_demo_then_eval(self, tmp_path):
+        work = str(tmp_path / "work")
+        r = run_cli("demo", "--synthetic", "--max_steps", "4",
+                    "--batch_size", "4", "--num_points", "128",
+                    "--synthetic_frames", "12", "--work_dir", work)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "final:" in r.stdout
+        final = json.loads(r.stdout.split("final:")[1].strip())
+        assert "total_loss" in final
+
+        r2 = run_cli("eval", "--synthetic", "--synthetic_frames", "8",
+                     "--batch_size", "4", "--num_points", "128",
+                     "--work_dir", work)
+        assert r2.returncode == 0, r2.stderr[-2000:]
+        assert "restored checkpoint step 4" in r2.stdout
+        assert "overall:" in r2.stdout
+        assert os.path.exists(os.path.join(work, "eval_all.json"))
+
+    def test_bad_category_message(self):
+        r = run_cli("eval", "--item", "nonexistent", "--synthetic",
+                    timeout=120)
+        assert r.returncode != 0
+        assert "unknown category" in (r.stderr + r.stdout)
