@@ -19,6 +19,9 @@ def run_cli(*args, timeout=900):
 
 
 @pytest.mark.slow
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                    reason="CLI subprocess tests recompile the full model "
+                           "(~9 min); set RUN_SLOW=1 to include")
 class TestCLI:
     def test_demo_then_eval(self, tmp_path):
         work = str(tmp_path / "work")
