@@ -65,3 +65,43 @@ class TestPallasFPS:
         assert out.shape == (3, 8)
         for b in range(3):
             assert_valid_fps(xyz[b], out[b])
+
+
+class TestPallasBallQuery:
+    def test_matches_oracle(self, rng):
+        from articulated_pose_tpu.ops import numpy_ref as ref
+        from articulated_pose_tpu.ops.pallas.ball_query import (
+            query_ball_point_pallas)
+
+        xyz = rng.rand(2, 100, 3).astype(np.float32)
+        q = xyz[:, :20]
+        idx, cnt = query_ball_point_pallas(0.3, 8, jnp.asarray(xyz),
+                                           jnp.asarray(q), True)
+        want_idx, want_cnt = ref.query_ball_point(0.3, 8, xyz, q)
+        np.testing.assert_array_equal(np.asarray(cnt), want_cnt)
+        np.testing.assert_array_equal(np.asarray(idx), want_idx)
+
+    def test_zero_hits(self):
+        from articulated_pose_tpu.ops.pallas.ball_query import (
+            query_ball_point_pallas)
+
+        xyz = jnp.ones((1, 8, 3))
+        q = jnp.zeros((1, 4, 3))
+        idx, cnt = query_ball_point_pallas(0.1, 4, xyz, q, True)
+        assert (np.asarray(cnt) == 0).all()
+        assert (np.asarray(idx) == 0).all()
+
+    def test_padding(self, rng):
+        from articulated_pose_tpu.ops import core
+        from articulated_pose_tpu.ops.pallas.ball_query import (
+            query_ball_point_pallas)
+
+        # N and M both off the 128 grid
+        xyz = rng.rand(2, 150, 3).astype(np.float32)
+        q = xyz[:, :37]
+        idx, cnt = query_ball_point_pallas(0.25, 16, jnp.asarray(xyz),
+                                           jnp.asarray(q), True)
+        w_idx, w_cnt = core.query_ball_point(0.25, 16, jnp.asarray(xyz),
+                                             jnp.asarray(q))
+        np.testing.assert_array_equal(np.asarray(cnt), np.asarray(w_cnt))
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(w_idx))
