@@ -45,7 +45,10 @@ def _ballq_kernel(radius: float, nsample: int, n_valid: int,
 
     BIG = 2 * N
     key0 = jnp.where(hit, lane, jnp.where(valid, lane + N, BIG))
-    cnt_ref[0, :] = jnp.minimum(jnp.sum(hit, -1), nsample).astype(jnp.int32)
+    cnt = jnp.minimum(jnp.sum(hit, -1), nsample).astype(jnp.int32)
+    # cnt output is (1, 8, BM): sublane dim padded to the f32/i32 tile
+    # minimum (Mosaic requires block dims (8, 128)-aligned)
+    cnt_ref[0, :, :] = jnp.broadcast_to(cnt[None, :], (8, BM))
 
     col = lax.broadcasted_iota(jnp.int32, (BM, nsample), 1)
 
@@ -96,13 +99,13 @@ def query_ball_point_pallas(radius: float, nsample: int, xyz: jax.Array,
         out_specs=(
             pl.BlockSpec((1, m_pad, nsample), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m_pad), lambda b: (b, 0),
+            pl.BlockSpec((1, 8, m_pad), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, m_pad, nsample), jnp.int32),
-            jax.ShapeDtypeStruct((B, m_pad), jnp.int32),
+            jax.ShapeDtypeStruct((B, 8, m_pad), jnp.int32),
         ),
         interpret=interpret,
     )(x, q)
-    return idx[:, :M], cnt[:, :M]
+    return idx[:, :M], cnt[:, 0, :M]
