@@ -44,8 +44,12 @@ class DeviceSynthetic:
         canon = np.concatenate(gen.parts_canon, axis=0)         # (Ntot, 3)
         part_of = np.concatenate([np.full(len(p), j, np.int32)
                                   for j, p in enumerate(gen.parts_canon)])
+        if canon.shape[0] < num_points:
+            # tile short clouds (device twin of lib/dataset.py:290-317)
+            tile = num_points // canon.shape[0] + 1
+            canon = np.concatenate([canon] * tile, axis=0)
+            part_of = np.concatenate([part_of] * tile, axis=0)
         self.n_total = canon.shape[0]
-        assert self.n_total >= num_points
 
         # static normalization constants
         corners = np.stack([np.asarray(c, np.float64) for c in gen.norm.corners])
