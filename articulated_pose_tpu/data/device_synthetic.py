@@ -17,7 +17,6 @@ evaluation can run fully on device too.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Tuple
 
 import jax

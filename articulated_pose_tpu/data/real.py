@@ -10,7 +10,7 @@ so fitted poses can be mapped back to metric camera space.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import numpy as np
 

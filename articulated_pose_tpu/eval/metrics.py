@@ -14,7 +14,7 @@ evaluation/eval_pose_err.py, evaluation/compute_miou.py):
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

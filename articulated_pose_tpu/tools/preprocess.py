@@ -13,11 +13,10 @@ train/test split files (replacing lib/data_utils.py:76-133
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from articulated_pose_tpu.data.labeling import JointSpec, NormInfo
 from articulated_pose_tpu.utils import transforms as tr
 
 

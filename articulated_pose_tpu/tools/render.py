@@ -14,7 +14,7 @@ by the procedural generator (data/synthetic.py) instead.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

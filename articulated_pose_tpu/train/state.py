@@ -15,7 +15,6 @@ sharding (see parallel/mesh.py).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict
 
 import flax.struct

@@ -13,7 +13,7 @@ predictions stay cross-checkable with the reference evaluation suite:
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 

@@ -92,8 +92,6 @@ def load_reference_weights(npz_path: str, params: Dict, batch_stats: Dict):
     Returns (new_params, new_batch_stats, report) where report lists
     mapped / unmapped / shape-mismatched variables.
     """
-    import jax
-
     raw = dict(np.load(npz_path))
     flat_p = _flatten(params)
     flat_s = _flatten(batch_stats)
@@ -131,8 +129,6 @@ def _flatten(tree, prefix=()) -> Dict[Tuple[str, ...], np.ndarray]:
 
 
 def _unflatten(flat: Dict[Tuple[str, ...], np.ndarray], template):
-    import copy
-
     def build(tree, prefix=()):
         if isinstance(tree, dict):
             return {k: build(v, prefix + (k,)) for k, v in tree.items()}

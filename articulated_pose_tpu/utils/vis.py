@@ -8,7 +8,7 @@ joint-line overlays, histograms.  All functions save to file when
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
