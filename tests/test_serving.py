@@ -1,0 +1,57 @@
+"""Serving API tests: checkpoint load + fused predict-and-fit call."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from articulated_pose_tpu.config import NetworkConfig
+from articulated_pose_tpu.data.synthetic import SyntheticArticulated
+from articulated_pose_tpu.models.ancsh import ANCSHModel
+from articulated_pose_tpu.models.pointnet2 import BackboneSpec
+from articulated_pose_tpu.serving import PosePredictor
+from articulated_pose_tpu.train.state import create_train_state
+from articulated_pose_tpu.train.trainer import Checkpointer
+
+TINY = BackboneSpec(
+    sa_npoints=(32, 16), sa_radii=(0.25, 0.5), sa_nsamples=(8, 8),
+    sa_mlps=((16, 16), (16, 32)), global_mlp=(32, 64),
+    fp_mlps=((32,), (32,), (16, 16)), head_width=16,
+)
+
+
+class TestServing:
+    def test_predict_from_checkpoint(self, tmp_path, monkeypatch):
+        cfg = NetworkConfig(n_max_parts=3, num_points=128, batch_size=2,
+                            ransac_niter_part=64, ransac_niter_joint=16)
+        # build + checkpoint a tiny model under the serving layout
+        import articulated_pose_tpu.serving as serving_mod
+
+        tiny_build = lambda c: ANCSHModel(  # noqa: E731
+            n_max_parts=c.n_max_parts, mixed=c.is_mixed,
+            pred_joint=c.pred_joint, backbone_spec=TINY)
+        monkeypatch.setattr(serving_mod, "build_model", tiny_build)
+        model = tiny_build(cfg)
+        state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                   np.zeros((1, 128, 3), np.float32))
+        ck = Checkpointer(str(tmp_path / "model"))
+        ck.save(3, state)
+
+        pred = PosePredictor(cfg, work_dir=str(tmp_path))
+        gen = SyntheticArticulated(n_parts=3, points_per_part=100, seed=0)
+        batch, _ = gen.batch(np.random.RandomState(0), 2, num_points=128)
+        out = pred(batch["P"])
+        assert out.R.shape == (2, 3, 3, 3)
+        assert out.scale.shape == (2, 3)
+        assert out.segmentation.shape == (2, 128)
+        assert np.isfinite(out.R).all()
+        # rotations are orthonormal
+        RRt = out.R.reshape(-1, 3, 3) @ np.transpose(
+            out.R.reshape(-1, 3, 3), (0, 2, 1))
+        np.testing.assert_allclose(RRt, np.broadcast_to(np.eye(3), RRt.shape),
+                                   atol=1e-3)
+
+    def test_missing_checkpoint_raises(self, tmp_path):
+        cfg = NetworkConfig(n_max_parts=2)
+        with pytest.raises(FileNotFoundError, match="no checkpoint"):
+            PosePredictor(cfg, work_dir=str(tmp_path / "nothing"))
