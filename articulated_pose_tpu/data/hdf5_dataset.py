@@ -154,8 +154,24 @@ class HDF5Dataset:
                 coords = [f["gt_coords"][str(g)][()][:, :3] for g in group]
                 parts_pts.append(np.concatenate(pts, axis=0))
                 parts_canon.append(np.concatenate(coords, axis=0))
+        joints, norm = info.joints, info.norm
+        order = (self.spec.spec_map or {}).get(instance)
+        if order:
+            # SAPIEN per-instance part reordering (lib/dataset.py:693-699):
+            # new part j is original part order[j]; joints follow via the
+            # inverse id map, normalization boxes are permuted with parts
+            inv = {orig: new for new, orig in enumerate(order)}
+            parts_pts = [parts_pts[o] for o in order]
+            parts_canon = [parts_canon[o] for o in order]
+            joints = [JointSpec(position=j.position, axis=j.axis,
+                                parent=inv.get(j.parent, j.parent),
+                                child=inv.get(j.child, j.child),
+                                jtype=j.jtype) for j in joints]
+            norm = NormInfo(
+                corners=[norm.corners[0]] + [norm.corners[1 + o] for o in order],
+                factors=[norm.factors[0]] + [norm.factors[1 + o] for o in order])
         return build_sample(
-            parts_pts, parts_canon, info.joints, info.norm,
+            parts_pts, parts_canon, joints, norm,
             num_points=self.num_points, n_max_parts=self.n_max_parts,
             nocs_type=self.nocs_type, thres_r=self.thres_r,
             rng=self._rng, permute=not self.fixed_order)

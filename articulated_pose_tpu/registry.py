@@ -34,6 +34,8 @@ class CategorySpec:
     test_size: int = 0
     # instance ids held out entirely (the "unseen" split)
     test_list: Sequence[str] = ()
+    # explicit training instances (None = all non-test instances)
+    train_list: Optional[Sequence[str]] = None
     # instance ids with special handling
     spec_list: Sequence[str] = ()
     # SAPIEN-style per-instance part reordering (reference: lib/dataset.py:693-699)
@@ -96,8 +98,8 @@ DATASETS: Dict[str, CategorySpec] = {
         joint_types=("revolute",),
         exp="3.6",
         baseline="3.61",
-        joint_baseline="5.3",
-        style="old",
+        joint_baseline="5.1",
+        style="new",
     ),
     "washing_machine": CategorySpec(
         name="washing_machine",
@@ -107,31 +109,80 @@ DATASETS: Dict[str, CategorySpec] = {
         num_parts=2,
         train_size=43000,
         test_size=3480,
-        test_list=("0003", "0029", "0054"),
-        spec_list=(),
+        test_list=("0003", "0029"),
+        spec_list=("0001", "0002", "0006", "0007", "0010"),
         joint_types=("revolute",),
-        exp="3.3",
-        baseline="3.31",
-        joint_baseline="5.1",
+        exp="3.1",
+        baseline="3.11",
+        joint_baseline="5.3",
         style="old",
     ),
     "drawer": CategorySpec(
         name="drawer",
         dataset_name="sapien",
-        num_object=20,
+        num_object=32,
         parts_map=((0,), (1,), (2,), (3,)),
         num_parts=4,
         train_size=13000,
         test_size=3480,
-        test_list=("45841",),
+        test_list=("46123", "45841", "46440"),
+        train_list=(
+            "40453", "44962", "45132", "45290", "46130", "46334", "46462",
+            "46537", "46544", "46641", "47178", "47183", "47296", "47233",
+            "48010", "48253", "48517", "48740", "48876", "46230", "44853",
+            "45135", "45427", "45756", "46653", "46879", "47438", "47711",
+            "48491"),
         spec_list=(),
+        spec_map={ins: [3, 0, 1, 2] for ins in (
+            "40453", "44962", "45132", "45290", "46123", "46130", "46334",
+            "46440", "46462", "46537", "46544", "46641", "47178", "47183",
+            "47296", "47233", "48010", "48253", "48517", "48740", "48876",
+            "46230")} | {
+            "44853": [3, 1, 2, 0], "45135": [3, 1, 0, 2],
+            "45427": [3, 2, 0, 1], "45756": [3, 1, 2, 0],
+            "45841": [0, 1, 2, 3], "46653": [0, 1, 2, 3],
+            "46879": [3, 1, 2, 0], "47438": [3, 2, 1, 0],
+            "47711": [0, 1, 2, 3], "48491": [0, 1, 2, 3]},
         # 3 prismatic drawers on the base; joint j attaches part j
         # (reference: lib/dataset.py:627-639 — the base's own 'fixed'
         # world joint is not a part-to-part joint)
         joint_types=("prismatic", "prismatic", "prismatic"),
-        exp="4.6",
-        baseline="4.61",
+        exp="3.3",
+        baseline="3.31",
         joint_baseline="5.4",
+    ),
+    # BMVC15 real-depth categories (reference: global_info.py:86-153)
+    "Laptop": CategorySpec(
+        name="Laptop", dataset_name="BMVC15", num_object=1,
+        parts_map=((0,), (1,)), num_parts=2,
+        train_size=13000, test_size=3480,
+        train_list=("0001",), test_list=("0006",),
+        joint_types=("revolute",),
+    ),
+    "Cabinet": CategorySpec(
+        name="Cabinet", dataset_name="BMVC15", num_object=1,
+        # (001)base + (002)drawer + (000)door
+        parts_map=((0,), (1,), (2,)), num_parts=3,
+        train_size=13000, test_size=3480,
+        train_list=("0001",), test_list=("0006",),
+        spec_map={"0001": [1, 2, 0], "0006": [1, 2, 0]},
+        joint_types=("prismatic", "revolute"),
+    ),
+    "Cupboard": CategorySpec(
+        name="Cupboard", dataset_name="BMVC15", num_object=1,
+        parts_map=((0,), (1,)), num_parts=2,
+        train_size=13000, test_size=3480,
+        train_list=("0001",), test_list=("0006",),
+        spec_map={"0001": [0, 1], "0006": [0, 1]},
+        joint_types=("prismatic",),
+    ),
+    "Train": CategorySpec(
+        name="Train", dataset_name="BMVC15", num_object=1,
+        parts_map=((0,), (1,), (2,), (3,)), num_parts=4,
+        train_size=13000, test_size=3480,
+        train_list=("0001",), test_list=("0006",),
+        spec_map={"0001": [0, 1, 2, 3], "0006": [0, 1, 2, 3]},
+        joint_types=("revolute", "revolute", "revolute"),
     ),
 }
 

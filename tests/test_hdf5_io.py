@@ -98,3 +98,34 @@ class TestPredictionIO:
                                    pred["nocs_per_point"][0])
         np.testing.assert_allclose(loaded["P"], batch["P"][0])
         assert "joint_cls_gt" in loaded
+
+
+class TestSpecMapReordering:
+    def test_parts_relabeled(self, tmp_path):
+        """With spec_map order, new part j must be original part order[j]."""
+        import dataclasses
+
+        from articulated_pose_tpu import registry
+
+        root = str(tmp_path)
+        gen = SyntheticArticulated(n_parts=3, points_per_part=120, seed=1)
+        gen.export_hdf5(root, "specmap_cat", n_instances=1,
+                        frames_per_instance=2, test_fraction=0.0)
+        order = [2, 0, 1]
+        registry.register_category(registry.CategorySpec(
+            name="specmap_cat", parts_map=((0,), (1,), (2,)), num_parts=3,
+            spec_map={"0000": order}, joint_types=("revolute", "revolute")))
+        # num_points == total points so the deterministic selection covers
+        # every point exactly once and counts permute exactly
+        ds_plain = HDF5Dataset(root, "specmap_cat", mode="train",
+                               num_points=360, batch_size=1, fixed_order=True)
+        # temporarily strip the spec_map for the unordered baseline
+        ds_plain.spec = dataclasses.replace(ds_plain.spec, spec_map=None)
+        s_plain = ds_plain.fetch(0)
+        ds_mapped = HDF5Dataset(root, "specmap_cat", mode="train",
+                                num_points=360, batch_size=1, fixed_order=True)
+        s_mapped = ds_mapped.fetch(0)
+        # per-class point counts permute exactly by `order`
+        cnt_plain = np.bincount(s_plain["cls_gt"].astype(int), minlength=3)
+        cnt_mapped = np.bincount(s_mapped["cls_gt"].astype(int), minlength=3)
+        np.testing.assert_array_equal(cnt_mapped, cnt_plain[order])
