@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from articulated_pose_tpu import losses
 from articulated_pose_tpu.config import NetworkConfig
@@ -98,3 +99,44 @@ class TestHungarian:
         cost = np.asarray([[[0.0, 1.0], [1.0, 0.0]]])
         m = losses.hungarian_matching(cost, np.asarray([2]))
         np.testing.assert_array_equal(m[0, :2], [0, 1])
+
+
+class TestConfig:
+    def test_load_yaml_config(self):
+        import os
+
+        from articulated_pose_tpu.config import load_config
+
+        cfg = load_config(os.path.join(os.path.dirname(__file__), "..",
+                                       "cfg", "network_config.yml"))
+        assert cfg.nocs_loss_multiplier == 10.0
+        assert cfg.batch_size == 16
+        assert cfg.is_mixed
+        assert cfg.compute_dtype == "bfloat16"
+
+    def test_unknown_key_rejected(self):
+        from articulated_pose_tpu.config import load_config
+
+        with pytest.raises(ValueError, match="unknown config keys"):
+            load_config(None, bogus_key=1)
+
+    def test_npcs_preset_disables_joint_heads(self):
+        from articulated_pose_tpu.config import load_config
+
+        cfg = load_config(None, nocs_type="npcs", pred_joint=True)
+        assert not cfg.pred_joint and not cfg.pred_joint_ind
+
+    def test_schedules(self):
+        import numpy as np
+
+        from articulated_pose_tpu.config import bn_momentum_schedule, lr_schedule
+
+        # staircase: lr drops by decay_rate every decay_step samples
+        lr0 = float(lr_schedule(0, 16, 1e-3, 200_000, 0.7))
+        lr1 = float(lr_schedule(200_000 // 16, 16, 1e-3, 200_000, 0.7))
+        np.testing.assert_allclose(lr0, 1e-3)
+        np.testing.assert_allclose(lr1, 7e-4, rtol=1e-6)
+        # bn momentum: min(0.99, 1 - 0.5*0.5^k), starts at 0.5
+        np.testing.assert_allclose(float(bn_momentum_schedule(0, 16, 200_000)), 0.5)
+        big = float(bn_momentum_schedule(10**7, 16, 200_000))
+        np.testing.assert_allclose(big, 0.99)
