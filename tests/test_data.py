@@ -217,3 +217,52 @@ class TestRealData:
         out2 = real.build_real_sample(P[:40], cls[:40], num_points=128,
                                       n_max_parts=3)
         assert out2["P"].shape == (128, 3)
+
+
+class TestParallelLoader:
+    def test_batches_match_serial(self):
+        from articulated_pose_tpu.data.parallel_loader import ParallelLoader
+
+        gen = SyntheticArticulated(n_parts=2, points_per_part=100, seed=0)
+        frames = [gen.frame(np.random.RandomState(i), num_points=64)[0]
+                  for i in range(10)]
+        pl = ParallelLoader(10, lambda i: frames[i], batch_size=4,
+                            shuffle=False, num_workers=4)
+        batches = list(pl)
+        assert len(batches) == 2
+        np.testing.assert_allclose(batches[0]["P"][0], frames[0]["P"])
+        np.testing.assert_allclose(batches[1]["P"][3], frames[7]["P"])
+
+    def test_throughput_with_native(self):
+        """Parallel native labeling should beat serial python labeling."""
+        import time
+
+        from articulated_pose_tpu import native
+        from articulated_pose_tpu.data.parallel_loader import ParallelLoader
+
+        if not native.available():
+            import pytest
+            pytest.skip("native lib unavailable")
+        gen = SyntheticArticulated(n_parts=3, points_per_part=400, seed=0)
+
+        def fetch_native(i):
+            return gen.frame(np.random.RandomState(i), num_points=1024,
+                             use_native=True)[0]
+
+        def fetch_python(i):
+            return gen.frame(np.random.RandomState(i), num_points=1024,
+                             use_native=False)[0]
+
+        n = 48
+        t0 = time.perf_counter()
+        for i in range(n):
+            fetch_python(i)
+        serial_py = time.perf_counter() - t0
+
+        pl = ParallelLoader(n, fetch_native, batch_size=16, shuffle=False,
+                            num_workers=6)
+        t0 = time.perf_counter()
+        got = list(pl)
+        par_native = time.perf_counter() - t0
+        assert len(got) == 3
+        assert par_native < serial_py, (par_native, serial_py)
