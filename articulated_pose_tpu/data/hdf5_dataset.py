@@ -177,11 +177,22 @@ class HDF5Dataset:
             rng=self._rng, permute=not self.fixed_order)
 
     def iterator(self, shuffle: Optional[bool] = None,
-                 drop_last: bool = True) -> BatchIterator:
+                 drop_last: bool = True, parallel: bool = False,
+                 num_workers: Optional[int] = None):
+        """Batch iterator.  parallel=True streams through a thread pool
+        (no epoch RAM cache — right for datasets too large to cache);
+        default caches the epoch in RAM like the reference
+        (lib/dataset.py:109-155)."""
         shuffle = (not self.fixed_order) if shuffle is None else shuffle
+        seed = self._rng.randint(2**31)
+        if parallel:
+            from articulated_pose_tpu.data.parallel_loader import ParallelLoader
+
+            return ParallelLoader(len(self.files), self.fetch, self.batch_size,
+                                  shuffle=shuffle, seed=seed,
+                                  num_workers=num_workers, drop_last=drop_last)
         return BatchIterator(len(self.files), self.fetch, self.batch_size,
-                             shuffle=shuffle, seed=self._rng.randint(2**31),
-                             drop_last=drop_last)
+                             shuffle=shuffle, seed=seed, drop_last=drop_last)
 
     def __len__(self):
         return len(self.files)

@@ -129,3 +129,13 @@ class TestSpecMapReordering:
         cnt_plain = np.bincount(s_plain["cls_gt"].astype(int), minlength=3)
         cnt_mapped = np.bincount(s_mapped["cls_gt"].astype(int), minlength=3)
         np.testing.assert_array_equal(cnt_mapped, cnt_plain[order])
+
+
+class TestParallelHDF5:
+    def test_parallel_iterator(self, disk_dataset):
+        root, gen, train, test = disk_dataset
+        ds = HDF5Dataset(root, "eyeglasses", mode="train", num_points=128,
+                         batch_size=3)
+        batches = list(ds.iterator(parallel=True, num_workers=3))
+        assert len(batches) == 2
+        assert batches[0]["P"].shape == (3, 128, 3)
