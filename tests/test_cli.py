@@ -46,3 +46,18 @@ class TestCLI:
                     timeout=120)
         assert r.returncode != 0
         assert "unknown category" in (r.stderr + r.stdout)
+
+    def test_train_from_hdf5_data_root(self, tmp_path):
+        """Full real-data path: export reference-layout h5 -> CLI train."""
+        from articulated_pose_tpu.data.synthetic import SyntheticArticulated
+
+        root = str(tmp_path / "data")
+        gen = SyntheticArticulated(n_parts=3, points_per_part=150, seed=0)
+        gen.export_hdf5(root, "eyeglasses", n_instances=2,
+                        frames_per_instance=6, test_fraction=0.34)
+        r = run_cli("train", "--item", "eyeglasses", "--data_root", root,
+                    "--max_steps", "3", "--batch_size", "4",
+                    "--num_points", "128",
+                    "--work_dir", str(tmp_path / "work"))
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "final:" in r.stdout

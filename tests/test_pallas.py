@@ -105,3 +105,35 @@ class TestPallasBallQuery:
                                              jnp.asarray(q))
         np.testing.assert_array_equal(np.asarray(cnt), np.asarray(w_cnt))
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(w_idx))
+
+
+class TestStreamingBallQuery:
+    def test_multiblock_matches_oracle(self, rng):
+        from articulated_pose_tpu.ops import numpy_ref as ref
+        from articulated_pose_tpu.ops.pallas.ball_query_stream import (
+            query_ball_point_stream)
+
+        xyz = rng.rand(2, 300, 3).astype(np.float32)   # 3 N-blocks of 128
+        q = xyz[:, :20]
+        idx, cnt = query_ball_point_stream(0.3, 8, jnp.asarray(xyz),
+                                           jnp.asarray(q), 128, True)
+        w_idx, w_cnt = ref.query_ball_point(0.3, 8, xyz, q)
+        np.testing.assert_array_equal(np.asarray(cnt), w_cnt)
+        np.testing.assert_array_equal(np.asarray(idx), w_idx)
+
+    def test_hits_span_blocks(self, rng):
+        """Queries whose neighborhoods cross tile boundaries keep global
+        index order."""
+        from articulated_pose_tpu.ops import numpy_ref as ref
+        from articulated_pose_tpu.ops.pallas.ball_query_stream import (
+            query_ball_point_stream)
+
+        # clustered cloud: many points within radius spread over blocks
+        base = rng.rand(1, 1, 3).astype(np.float32)
+        xyz = base + rng.randn(1, 260, 3).astype(np.float32) * 0.05
+        q = base.repeat(4, axis=1)
+        idx, cnt = query_ball_point_stream(0.2, 16, jnp.asarray(xyz),
+                                           jnp.asarray(q), 128, True)
+        w_idx, w_cnt = ref.query_ball_point(0.2, 16, xyz, q)
+        np.testing.assert_array_equal(np.asarray(idx), w_idx)
+        np.testing.assert_array_equal(np.asarray(cnt), w_cnt)
