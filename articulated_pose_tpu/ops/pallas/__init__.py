@@ -1,4 +1,6 @@
 from articulated_pose_tpu.ops.pallas.ball_query import query_ball_point_pallas
+from articulated_pose_tpu.ops.pallas.ball_query_stream import query_ball_point_stream
 from articulated_pose_tpu.ops.pallas.fps import farthest_point_sample_pallas
 
-__all__ = ["farthest_point_sample_pallas", "query_ball_point_pallas"]
+__all__ = ["farthest_point_sample_pallas", "query_ball_point_pallas",
+           "query_ball_point_stream"]
