@@ -77,23 +77,53 @@ def main():
     run = ((lambda P: forward(variables, P)) if args.skip_pose
            else (lambda P: end_to_end(variables, P, key)))
 
+    def checksum(out):
+        leaves = [l for l in jax.tree.leaves(out) if l is not None]
+        return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+
     # warmup / compile
     for _ in range(args.warmup):
         out = run(P)
         jax.block_until_ready(out)
 
+    # Honest timing on the tunneled TPU: block_until_ready has been
+    # observed to return before execution completes here, so iterations
+    # are chained through a device-side accumulator and a HOST FETCH of
+    # the final scalar provides the barrier.
+    acc = jnp.zeros((), jnp.float32)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = run(P)
-        jax.block_until_ready(out)
+        acc = acc + checksum(out)
+    _ = float(acc)  # real synchronization point
     dt = time.perf_counter() - t0
 
     clouds_per_sec = B * args.iters / dt
+
+    # calibrate what this tunneled chip actually delivers (the dev slice
+    # measures ~2-3 bf16 TFLOPs vs ~459 for a production v5p chip), so
+    # the recorded number carries its hardware context.
+    mm = jax.jit(lambda a: a @ a / 4096.0)
+    x = jnp.asarray(np.random.RandomState(1).rand(4096, 4096), jnp.bfloat16)
+    y = mm(x)
+    jax.block_until_ready(y)
+    t0 = time.perf_counter()
+    y = x
+    for _ in range(10):
+        y = mm(y)
+    _ = float(jnp.sum(y.astype(jnp.float32)))
+    tflops = 2 * 4096**3 * 10 / (time.perf_counter() - t0) / 1e12
+
     print(json.dumps({
         "metric": "point clouds/sec/chip (2048-pt ANCSH forward+pose fit)",
         "value": round(clouds_per_sec, 2),
         "unit": "clouds/sec",
         "vs_baseline": round(clouds_per_sec / 10000.0, 4),
+        "chip_bf16_tflops_measured": round(tflops, 2),
+        "note": ("measured with a device-side dependency chain + host-fetch "
+                 "barrier (block_until_ready returns early on this tunnel); "
+                 "dev chip delivers the reported TFLOPs vs ~459 for a v5p "
+                 "chip — compute-bound throughput scales accordingly"),
     }))
 
 
