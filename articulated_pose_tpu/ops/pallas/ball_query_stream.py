@@ -17,8 +17,8 @@ Semantics remain exactly the reference CUDA kernel's
 the global order), all slots pre-filled with the first hit, counts
 capped at nsample.  vs ops.core the only divergence is f32 rounding on
 points within ~1e-6 of the radius boundary (the kernel's d² summation
-order differs; measured 1.9x faster than the XLA path at N=32k where
-the XLA (B, M, N) tile is 256 MB).
+order differs; ~2x faster than the XLA path at N=32k in same-window
+comparisons, where the XLA (B, M, N) tile is 256 MB).
 """
 
 from __future__ import annotations
