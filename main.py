@@ -62,7 +62,8 @@ def make_datasets(args, cfg, spec, mode: str, domain=None):
         frames = [s for s, _ in samples]
         gts = [g for _, g in samples]
         it = BatchIterator(n, lambda i: frames[i], cfg.batch_size,
-                           shuffle=(mode == "train"), seed=0)
+                           shuffle=(mode == "train"), seed=0,
+                           drop_last=(mode == "train"))
         it.basenames = [f"synth_{mode}_{i}" for i in range(n)]
         it.frame_gts = gts
         it.generator = gen
@@ -75,7 +76,8 @@ def make_datasets(args, cfg, spec, mode: str, domain=None):
                      batch_size=cfg.batch_size,
                      nocs_type="AC" if cfg.is_mixed else "A",
                      fixed_order=(mode != "train"))
-    it = ds.iterator(shuffle=(mode == "train"))
+    it = ds.iterator(shuffle=(mode == "train"),
+                     drop_last=(mode == "train"))
     it.basenames = ds.basenames
     return it
 
