@@ -277,3 +277,28 @@ class TestAlternatingJoint:
             jnp.asarray(x1), jnp.asarray(y1), w, jnp.asarray(axis), iters=10)
         assert tr.rot_diff_degree(np.asarray(Rf0), R0) < 0.5
         assert tr.rot_diff_degree(np.asarray(Rf1), R1) < 0.5
+
+
+class TestDeterminism:
+    def test_ransac_deterministic_under_key(self, rng):
+        """Unlike the reference's unseeded np.random RANSAC
+        (parallel_ancsh_pose.py:110-114), fits are pure functions of the
+        PRNG key."""
+        P = 96
+        src = rng.rand(P, 3).astype(np.float32)
+        R_t = tr.random_rotation(rng)
+        tgt = (1.2 * src @ R_t.T + rng.rand(3)).astype(np.float32)
+        tgt[:20] += 1.0
+        mask = jnp.ones(P)
+        key = jax.random.PRNGKey(42)
+        f1 = ransac.ransac_similarity(key, jnp.asarray(src), jnp.asarray(tgt),
+                                      mask, niter=128, inlier_th=0.05)
+        f2 = ransac.ransac_similarity(key, jnp.asarray(src), jnp.asarray(tgt),
+                                      mask, niter=128, inlier_th=0.05)
+        np.testing.assert_array_equal(np.asarray(f1.R), np.asarray(f2.R))
+        np.testing.assert_array_equal(np.asarray(f1.inliers), np.asarray(f2.inliers))
+        # a different key may sample different hypotheses but still converges
+        f3 = ransac.ransac_similarity(jax.random.PRNGKey(7), jnp.asarray(src),
+                                      jnp.asarray(tgt), mask, niter=128,
+                                      inlier_th=0.05)
+        assert tr.rot_diff_degree(np.asarray(f3.R), R_t) < 2.0
