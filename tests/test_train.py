@@ -171,3 +171,37 @@ class TestTrainer:
         tr.validate(data, save_predictions=True)
         assert not os.path.exists(d0)
         assert os.path.exists(os.path.join(str(tmp_path), "val_pred", "step7"))
+
+
+class TestTPSharding:
+    def test_wide_global_kernel_sharded_on_model_axis(self):
+        """A backbone wide enough to cross _TP_MIN_FEATURES really gets its
+        global-stage kernels partitioned over the model axis."""
+        from articulated_pose_tpu.parallel.mesh import make_mesh, state_shardings
+
+        wide = BackboneSpec(
+            sa_npoints=(16, 8), sa_radii=(0.25, 0.5), sa_nsamples=(8, 8),
+            sa_mlps=((16,), (32,)), global_mlp=(64, 256), fp_mlps=((32,), (16,), (16,)),
+            head_width=16)
+        cfg = NetworkConfig(n_max_parts=2, num_points=64, batch_size=4,
+                            nocs_type="npcs", pred_joint=False)
+        model = ANCSHModel(n_max_parts=2, mixed=False, pred_joint=False,
+                           backbone_spec=wide)
+        gen = SyntheticArticulated(n_parts=2, points_per_part=100, seed=0)
+        batch, _ = gen.batch(np.random.RandomState(0), 4, num_points=64,
+                             nocs_type="A")
+        state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch["P"])
+        mesh = make_mesh("data=4,model=2")
+        sh = state_shardings(state, mesh)
+        k = sh.params["backbone"]["sa_global"]["mlp"]["conv1"]["dense"]["kernel"]
+        assert k.spec == jax.sharding.PartitionSpec(None, "model"), k.spec
+        # adam moments mirror the params sharding
+        mu = jax.tree_util.tree_leaves_with_path(sh.opt_state)
+        hit = [s for path, s in mu
+               if "sa_global" in str(path) and "conv1" in str(path)
+               and "kernel" in str(path)]
+        assert any(s.spec == jax.sharding.PartitionSpec(None, "model")
+                   for s in hit)
+        # and a narrow layer stays replicated
+        k0 = sh.params["backbone"]["sa1"]["mlp"]["conv0"]["dense"]["kernel"]
+        assert k0.spec == jax.sharding.PartitionSpec()
