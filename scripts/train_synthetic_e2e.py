@@ -25,6 +25,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=6000)
     ap.add_argument("--steps-per-call", type=int, default=25)
+    ap.add_argument("--resume", action="store_true")
     ap.add_argument("--test-frames", type=int, default=64)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--points", type=int, default=1024)
@@ -69,6 +70,12 @@ def main():
     model = build_model(cfg)
     state = create_train_state(model, cfg, jax.random.PRNGKey(0),
                                np.zeros((1, args.points, 3), np.float32))
+    if args.resume:
+        from articulated_pose_tpu.train.trainer import Checkpointer
+        ck0 = Checkpointer(os.path.join(args.work, "model"))
+        if ck0.latest_step() is not None:
+            state = ck0.restore(state)
+            print(f"resumed from step {int(state.step)}", flush=True)
     window = max(1, args.steps_per_call)
     fused_step = make_fused_synthetic_train_step(cfg, dg, args.batch,
                                                  steps_per_call=window)
