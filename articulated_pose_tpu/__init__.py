@@ -27,5 +27,19 @@ A ground-up rebuild of the capabilities of dragonlong/articulated-pose
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # Honor JAX_PLATFORMS even when a sitecustomize pre-imported jax
+    # before the env var could take effect (it is then read too late);
+    # re-apply it through jax.config, which works until backends
+    # initialize on first device access.
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except RuntimeError:
+        pass  # backends already initialized; user config wins elsewhere
+
 from articulated_pose_tpu.config import NetworkConfig, load_config
 from articulated_pose_tpu.registry import CategorySpec, get_category, DATASETS

@@ -34,7 +34,6 @@ class NetworkConfig:
     num_points: int = 1024             # reference lib/dataset.py:35
     pred_joint: bool = True
     pred_joint_ind: bool = True
-    early_split: bool = True
     early_split_nocs: bool = True
     dropout_rate: float = 0.5          # reference keep_prob=0.5
     # compute dtype for the backbone ('bfloat16' rides the MXU; params stay f32)

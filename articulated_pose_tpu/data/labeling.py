@@ -108,6 +108,11 @@ def build_sample(
     Returns the dict of arrays the train step consumes (keys as in
     lib/dataset.py:381-429, nocs_type 'A'/'C'/'AC').
     """
+    if nocs_type not in ("A", "C", "AC"):
+        # reference lib/dataset.py:395-401 silently mishandles type 'B'
+        # (per-part NAOCS slices) — unsupported here, fail loudly instead
+        raise ValueError(f"unsupported nocs_type {nocs_type!r}; "
+                         "expected 'A' (part), 'C' (global) or 'AC' (both)")
     n_parts = len(parts_pts)
     K = n_max_parts or n_parts
     assert n_parts <= K, f"n_parts {n_parts} > n_max_parts {K}"

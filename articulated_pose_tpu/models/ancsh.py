@@ -134,12 +134,19 @@ class ANCSHModel(nn.Module):
 
 
 def build_model(config) -> ANCSHModel:
-    """Construct the model from a NetworkConfig."""
+    """Construct the model from a NetworkConfig.
+
+    config.use_pallas selects the Pallas L0 kernels (FPS + ball query)
+    for the backbone; on non-TPU backends they resolve back to the XLA
+    implementations (models/pointnet2.py::resolve_impl).
+    """
+    impl = "pallas" if config.use_pallas else "xla"
     return ANCSHModel(
         n_max_parts=config.n_max_parts,
         mixed=config.is_mixed,
         pred_joint=config.pred_joint,
         early_split_nocs=config.early_split_nocs,
-        backbone_spec=BackboneSpec(dropout_rate=config.dropout_rate),
+        backbone_spec=BackboneSpec(dropout_rate=config.dropout_rate,
+                                   fps_impl=impl, ball_query_impl=impl),
         dtype=jnp.dtype(config.compute_dtype),
     )

@@ -24,18 +24,33 @@ from articulated_pose_tpu.models.layers import PointConv, SharedMLP
 Dtype = Any
 
 
+def resolve_impl(impl: str) -> str:
+    """Resolve a kernel-impl choice against the current backend.
+
+    Pallas TPU kernels only lower on TPU; everywhere else (the CPU test
+    mesh, the multichip dryrun) they transparently fall back to the
+    XLA implementations, which are oracle-parity tested against the
+    same semantics (tests/test_pallas.py).
+    """
+    if impl != "xla" and jax.default_backend() != "tpu":
+        return "xla"
+    return impl
+
+
 def sample_and_group(npoint: int, radius: float, nsample: int,
                      xyz: jax.Array, points: Optional[jax.Array],
                      knn: bool = False, use_xyz: bool = True,
-                     fps_impl: str = "xla"):
+                     fps_impl: str = "xla", ball_query_impl: str = "xla"):
     """FPS → gather → ball-query/knn → group → center-normalize.
 
     Mirrors pointnet_util.py:29-63. xyz (B, N, 3), points (B, N, C) or None.
     Returns (new_xyz (B,M,3), new_points (B,M,S,3+C), idx, grouped_xyz).
     fps_impl: 'xla' (lax.scan; fuses well inside large programs) or
     'pallas' (VMEM-resident kernel, ops/pallas/fps.py).
+    ball_query_impl: 'xla' | 'pallas' (full-N VMEM kernel) | 'stream'
+    (blockwise-N kernel for large clouds, ops/pallas/ball_query_stream.py).
     """
-    if fps_impl == "pallas":
+    if resolve_impl(fps_impl) == "pallas":
         from articulated_pose_tpu.ops.pallas import farthest_point_sample_pallas
 
         fps_idx = farthest_point_sample_pallas(npoint, xyz)
@@ -45,7 +60,17 @@ def sample_and_group(npoint: int, radius: float, nsample: int,
     if knn:
         _, idx = ops.knn_point(nsample, xyz, new_xyz)
     else:
-        idx, _ = ops.query_ball_point(radius, nsample, xyz, new_xyz)
+        bq = resolve_impl(ball_query_impl)
+        if bq == "pallas":
+            from articulated_pose_tpu.ops.pallas import query_ball_point_pallas
+
+            idx, _ = query_ball_point_pallas(radius, nsample, xyz, new_xyz)
+        elif bq == "stream":
+            from articulated_pose_tpu.ops.pallas import query_ball_point_stream
+
+            idx, _ = query_ball_point_stream(radius, nsample, xyz, new_xyz)
+        else:
+            idx, _ = ops.query_ball_point(radius, nsample, xyz, new_xyz)
     grouped_xyz = ops.group_point(xyz, idx)                     # (B, M, S, 3)
     grouped_xyz = grouped_xyz - new_xyz[:, :, None, :]          # translation normalize
     if points is not None:
@@ -86,6 +111,7 @@ class SetAbstraction(nn.Module):
     knn: bool = False
     use_xyz: bool = True
     fps_impl: str = "xla"
+    ball_query_impl: str = "xla"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -96,7 +122,8 @@ class SetAbstraction(nn.Module):
         else:
             new_xyz, new_points, idx, grouped_xyz = sample_and_group(
                 self.npoint, self.radius, self.nsample, xyz, points,
-                self.knn, self.use_xyz, fps_impl=self.fps_impl)
+                self.knn, self.use_xyz, fps_impl=self.fps_impl,
+                ball_query_impl=self.ball_query_impl)
 
         new_points = SharedMLP(self.mlp, dtype=self.dtype, name="mlp")(
             new_points, train=train, bn_momentum=bn_momentum)   # (B, M, S, C)
@@ -152,7 +179,8 @@ class BackboneSpec:
     fp_mlps: Tuple[Tuple[int, ...], ...] = ((256, 256), (256, 128), (128, 128, 128))
     head_width: int = 128
     dropout_rate: float = 0.5
-    fps_impl: str = "xla"      # 'xla' | 'pallas' (ops/pallas/fps.py)
+    fps_impl: str = "xla"        # 'xla' | 'pallas' (ops/pallas/fps.py)
+    ball_query_impl: str = "xla"  # 'xla' | 'pallas' | 'stream'
 
 
 class PointNet2Backbone(nn.Module):
@@ -175,7 +203,8 @@ class PointNet2Backbone(nn.Module):
             xyz, pts, _ = SetAbstraction(
                 npoint=s.sa_npoints[i], radius=s.sa_radii[i],
                 nsample=s.sa_nsamples[i], mlp=s.sa_mlps[i],
-                fps_impl=s.fps_impl, dtype=self.dtype, name=f"sa{i + 1}",
+                fps_impl=s.fps_impl, ball_query_impl=s.ball_query_impl,
+                dtype=self.dtype, name=f"sa{i + 1}",
             )(l_xyz[-1], l_pts[-1], train=train, bn_momentum=bn_momentum)
             l_xyz.append(xyz)
             l_pts.append(pts)

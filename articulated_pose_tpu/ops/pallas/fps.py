@@ -47,7 +47,12 @@ def _fps_kernel(npoint: int, n_valid: int, xyz_ref, out_ref):
         d = (x - lx) ** 2 + (y - ly) ** 2 + (z - lz) ** 2
         mind = jnp.minimum(mind, d)
         masked = jnp.where(valid, mind, -1.0)
-        nxt = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+        # argmax with lowest-index ties, written as max + min-index
+        # reduce: jnp.argmax's Mosaic lowering fails to legalize when N
+        # is a single 128-lane tile (f32->i32 materialization error)
+        best = jnp.max(masked, axis=-1, keepdims=True)
+        nxt = jnp.min(jnp.where(masked == best, lane, jnp.int32(2**30)),
+                      axis=-1).astype(jnp.int32)
         # lane-masked accumulate (dynamic single-column vector stores
         # don't lower on TPU; a select over the (BB, npoint) plane does)
         picks = jnp.where(col == j, nxt[:, None], picks)

@@ -110,7 +110,10 @@ DATASETS: Dict[str, CategorySpec] = {
         train_size=43000,
         test_size=3480,
         test_list=("0003", "0029"),
-        spec_list=("0001", "0002", "0006", "0007", "0010"),
+        spec_list=("0001", "0002", "0006", "0007", "0010",
+                   "0027", "0031", "0040", "0050", "0009",
+                   "0029", "0038", "0039", "0041", "0046",
+                   "0052", "0058"),
         joint_types=("revolute",),
         exp="3.1",
         baseline="3.11",
@@ -120,7 +123,7 @@ DATASETS: Dict[str, CategorySpec] = {
     "drawer": CategorySpec(
         name="drawer",
         dataset_name="sapien",
-        num_object=32,
+        num_object=1,
         parts_map=((0,), (1,), (2,), (3,)),
         num_parts=4,
         train_size=13000,

@@ -4,6 +4,14 @@ Measures point clouds/sec/chip for the BASELINE.json headline metric
 (forward pass of the full ANCSH model on 2048-point clouds followed by
 the per-part RANSAC + joint-constrained pose fit, all on device).
 
+The measurement window is ONE dispatch: all --iters iterations run
+inside a single jitted lax.scan (the steps_per_call pattern from
+data/device_synthetic.py), so per-dispatch tunnel latency — which can
+swing by ~1000x minute-to-minute on the axon tunnel — amortizes to
+nothing instead of dominating the measurement (round-1 lesson: 5
+host-driven dispatches recorded 4 clouds/s while the same computation
+sustained ~500 inside scan-fused training).
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "clouds/sec", "vs_baseline": N}
 
@@ -14,7 +22,6 @@ vs_baseline = value / 10000.
 
 import argparse
 import json
-import os
 import time
 
 import numpy as np
@@ -24,15 +31,42 @@ import numpy as np
 # through a path ~600x slower than freshly compiled ones (measured:
 # 0.05ms vs 31ms for the same FPS program).  Always compile fresh.
 
+# Analytic forward FLOPs at B=1, N=2048 for the flagship model (matmul
+# 2*m*n*k over all conv/MLP stages), used for the utilization estimate.
+FLOPS_PER_CLOUD = 1.2e9
+
+
+def measure_chip_tflops(jax, jnp):
+    """bf16 matmul roofline of whatever chip the driver provides."""
+    n, iters = 4096, 32
+
+    @jax.jit
+    def chain(x):
+        def body(y, _):
+            return y @ x / float(n), None
+        y, _ = jax.lax.scan(body, x, None, length=iters)
+        return jnp.sum(y.astype(jnp.float32))
+
+    x = jnp.asarray(np.random.RandomState(1).rand(n, n), jnp.bfloat16)
+    _ = float(chain(x))  # compile + warm
+    t0 = time.perf_counter()
+    _ = float(chain(x))
+    dt = time.perf_counter() - t0
+    return 2 * n**3 * iters / dt / 1e12
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--points", type=int, default=2048)
-    ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--iters", type=int, default=32,
+                    help="iterations fused into one scan window")
     ap.add_argument("--niter-part", type=int, default=1024)
     ap.add_argument("--niter-joint", type=int, default=128)
+    ap.add_argument("--impl", choices=["xla", "pallas", "stream"],
+                    default="pallas",
+                    help="FPS/ball-query kernel tier (pallas = TPU native;"
+                         " falls back to xla off-TPU)")
     ap.add_argument("--skip-pose", action="store_true")
     args = ap.parse_args()
 
@@ -40,11 +74,14 @@ def main():
     import jax.numpy as jnp
 
     from articulated_pose_tpu.models.ancsh import ANCSHModel
+    from articulated_pose_tpu.models.pointnet2 import BackboneSpec
     from articulated_pose_tpu.pose.pipeline import PoseFitConfig, fit_frame_batch
 
     B, N, K = args.batch, args.points, 3
-    model = ANCSHModel(n_max_parts=K, mixed=True, pred_joint=True,
-                       dtype=jnp.bfloat16)
+    model = ANCSHModel(
+        n_max_parts=K, mixed=True, pred_joint=True, dtype=jnp.bfloat16,
+        backbone_spec=BackboneSpec(fps_impl=args.impl,
+                                   ball_query_impl=args.impl))
     rng = jax.random.PRNGKey(0)
     P = jnp.asarray(np.random.RandomState(0).rand(B, N, 3), jnp.float32)
     variables = model.init(rng, P)
@@ -54,74 +91,66 @@ def main():
         joint_types=("revolute", "revolute"),
         lm_iters_hypo=8, lm_iters_refit=15, ransac_chunk=256)
 
+    def one_iter(variables, Pi, key):
+        pred = model.apply(variables, Pi, train=False)
+        if args.skip_pose:
+            out = (pred["W"], pred["nocs_per_point"])
+        else:
+            pose_pred = {
+                "W": pred["W"],
+                "nocs_per_point": pred["nocs_per_point"],
+                "joint_axis_per_point": pred["joint_axis_per_point"],
+                "index_per_point": pred["index_per_point"],
+            }
+            fits = fit_frame_batch(pose_pred, Pi, key, pose_cfg)
+            out = (fits["baseline_R"], fits.get("nonlinear_R"))
+        return sum(jnp.sum(l.astype(jnp.float32))
+                   for l in jax.tree.leaves(out) if l is not None)
+
     # params are ARGUMENTS, not closure captures: closure-captured
     # variables get baked into the program as constants, which measured
     # ~200x slower end to end (and minutes of extra compile time).
-    @jax.jit
-    def forward(variables, P):
-        return model.apply(variables, P, train=False)
+    import functools
 
-    @jax.jit
-    def end_to_end(variables, P, key):
-        pred = model.apply(variables, P, train=False)
-        pose_pred = {
-            "W": pred["W"],
-            "nocs_per_point": pred["nocs_per_point"],
-            "joint_axis_per_point": pred["joint_axis_per_point"],
-            "index_per_point": pred["index_per_point"],
-        }
-        fits = fit_frame_batch(pose_pred, P, key, pose_cfg)
-        return fits["baseline_R"], fits.get("nonlinear_R")
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def window(variables, P, key, iters):
+        def body(carry, i):
+            acc, key = carry
+            key, kp, kf = jax.random.split(key, 3)
+            # fresh input per iter (new clouds, defeats CSE across steps)
+            Pi = P + 0.01 * jax.random.normal(kp, P.shape, P.dtype)
+            acc = acc + one_iter(variables, Pi, kf)
+            return (acc, key), None
+        (acc, _), _ = jax.lax.scan(
+            body, (jnp.zeros((), jnp.float32), key), None, length=iters)
+        return acc
 
+    # warmup/compile with the measurement iteration count (static arg)
     key = jax.random.PRNGKey(1)
-    run = ((lambda P: forward(variables, P)) if args.skip_pose
-           else (lambda P: end_to_end(variables, P, key)))
+    _ = float(window(variables, P, key, args.iters))
 
-    def checksum(out):
-        leaves = [l for l in jax.tree.leaves(out) if l is not None]
-        return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
-
-    # warmup / compile
-    for _ in range(args.warmup):
-        out = run(P)
-        jax.block_until_ready(out)
-
-    # Honest timing on the tunneled TPU: block_until_ready has been
-    # observed to return before execution completes here, so iterations
-    # are chained through a device-side accumulator and a HOST FETCH of
-    # the final scalar provides the barrier.
-    acc = jnp.zeros((), jnp.float32)
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = run(P)
-        acc = acc + checksum(out)
-    _ = float(acc)  # real synchronization point
+    acc = window(variables, P, jax.random.PRNGKey(2), args.iters)
+    _ = float(acc)  # host fetch = real synchronization barrier
     dt = time.perf_counter() - t0
-
     clouds_per_sec = B * args.iters / dt
 
     # calibrate what this tunneled chip actually delivers (the dev slice
     # measures ~2-3 bf16 TFLOPs vs ~459 for a production v5p chip), so
     # the recorded number carries its hardware context.
-    mm = jax.jit(lambda a: a @ a / 4096.0)
-    x = jnp.asarray(np.random.RandomState(1).rand(4096, 4096), jnp.bfloat16)
-    y = mm(x)
-    jax.block_until_ready(y)
-    t0 = time.perf_counter()
-    y = x
-    for _ in range(10):
-        y = mm(y)
-    _ = float(jnp.sum(y.astype(jnp.float32)))
-    tflops = 2 * 4096**3 * 10 / (time.perf_counter() - t0) / 1e12
+    tflops = measure_chip_tflops(jax, jnp)
+    mxu_util = clouds_per_sec * FLOPS_PER_CLOUD / (tflops * 1e12)
 
     print(json.dumps({
         "metric": "point clouds/sec/chip (2048-pt ANCSH forward+pose fit)",
         "value": round(clouds_per_sec, 2),
         "unit": "clouds/sec",
         "vs_baseline": round(clouds_per_sec / 10000.0, 4),
+        "impl": args.impl,
+        "iters_fused": args.iters,
         "chip_bf16_tflops_measured": round(tflops, 2),
-        "note": ("measured with a device-side dependency chain + host-fetch "
-                 "barrier (block_until_ready returns early on this tunnel); "
+        "fwd_flops_utilization": round(mxu_util, 4),
+        "note": ("single-dispatch lax.scan window (tunnel latency amortized); "
                  "dev chip delivers the reported TFLOPs vs ~459 for a v5p "
                  "chip — compute-bound throughput scales accordingly"),
     }))

@@ -29,8 +29,6 @@ def build_config(args):
     from articulated_pose_tpu.registry import get_category
 
     overrides = {}
-    if args.config:
-        pass
     spec = get_category(args.item)
     overrides["category"] = args.item
     overrides["nocs_type"] = args.nocs_type

@@ -26,9 +26,6 @@ class TestUmeyama:
         src = rng.rand(50, 3)
         s, R, t = random_similarity(rng)
         tgt = apply_sRt(s, R, t, src)
-        for fn in (umeyama.umeyama_similarity,
-                   lambda a, b: (lambda r: (r[0], r[1], r[2]))(umeyama.transform_pts(a, b))[0:3]):
-            pass
         Rf, sf, tf = umeyama.umeyama_similarity(jnp.asarray(src), jnp.asarray(tgt))
         np.testing.assert_allclose(np.asarray(Rf), R, atol=1e-5)
         np.testing.assert_allclose(float(sf), s, rtol=1e-5)
