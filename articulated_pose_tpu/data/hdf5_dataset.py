@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import zlib
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -170,11 +171,17 @@ class HDF5Dataset:
             norm = NormInfo(
                 corners=[norm.corners[0]] + [norm.corners[1 + o] for o in order],
                 factors=[norm.factors[0]] + [norm.factors[1 + o] for o in order])
+        # NOTE: points are ALWAYS permutation-subsampled (the reference
+        # does so unconditionally, lib/dataset.py:346-355 — fixed_order
+        # only fixes *file* order); taking the first num_points instead
+        # would truncate to part 0 whenever parts are stored contiguously.
         return build_sample(
             parts_pts, parts_canon, joints, norm,
             num_points=self.num_points, n_max_parts=self.n_max_parts,
             nocs_type=self.nocs_type, thres_r=self.thres_r,
-            rng=self._rng, permute=not self.fixed_order)
+            rng=(np.random.RandomState(zlib.crc32(path.encode()) % (2**31))
+                 if self.fixed_order else self._rng),
+            permute=True)
 
     def iterator(self, shuffle: Optional[bool] = None,
                  drop_last: bool = True, parallel: bool = False,

@@ -55,6 +55,9 @@ class FrameGT:
     joint_points_cam: List[np.ndarray]
     # articulation state (angle in rad, or translation for prismatic)
     states: List[float]
+    # per part: 4x4 similarity mapping global NAOCS -> input frame (the
+    # GT the NAOCS baseline is scored against, baseline_naocs.py:216-218)
+    rt_naocs2cam: List[np.ndarray] = None
 
 
 class SyntheticArticulated:
@@ -184,7 +187,9 @@ class SyntheticArticulated:
         f0 = self.norm.factors[0]
         input_scale = np.eye(4) * f0
         input_scale[3, 3] = 1.0
-        rts, scales = [], []
+        rts, scales, rts_g = [], [], []
+        gc = (self.norm.corners[0][0] + self.norm.corners[0][1]) / 2.0
+        naocs2canon = tr.similarity(1.0 / f0, np.eye(3), gc - 0.5 / f0)
         for j in range(self.n_parts):
             fj = self.norm.factors[j + 1]
             c = self.norm.corners[j + 1]
@@ -193,6 +198,7 @@ class SyntheticArticulated:
             T = input_scale @ cam @ art[j] @ nocs2canon
             rts.append(T)
             scales.append(tr.decompose_similarity(T)[0])
+            rts_g.append(input_scale @ cam @ art[j] @ naocs2canon)
 
         jaxes, jpoints = [], []
         for jt in self.joints:
@@ -200,7 +206,8 @@ class SyntheticArticulated:
             jpoints.append(f0 * (tr.apply_similarity(cam, jt.position.reshape(1, 3))[0]))
 
         gt = FrameGT(rt_nocs2cam=rts, scales=scales, joint_axes_cam=jaxes,
-                     joint_points_cam=jpoints, states=states)
+                     joint_points_cam=jpoints, states=states,
+                     rt_naocs2cam=rts_g)
         return sample, gt
 
     def export_hdf5(self, root_dir: str, category: str, *,

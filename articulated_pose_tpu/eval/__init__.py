@@ -9,7 +9,10 @@ from articulated_pose_tpu.eval.pipeline import (
     EvalReport,
     compute_gt_poses,
     evaluate_fits,
-    vote_joint_params,
+    gt_joint_lines,
+    joint_errors,
+    pred_joint_lines,
+    vote_joint_line,
 )
 
 __all__ = [
@@ -19,7 +22,10 @@ __all__ = [
     "compute_gt_poses",
     "evaluate_fits",
     "get_3d_bbox",
+    "gt_joint_lines",
+    "joint_errors",
     "pose_errors",
+    "pred_joint_lines",
     "pts_inside_box",
-    "vote_joint_params",
+    "vote_joint_line",
 ]

@@ -70,29 +70,122 @@ def compute_gt_poses(nocs_gt: np.ndarray, P: np.ndarray, cls: np.ndarray,
     return out
 
 
-def vote_joint_params(nocs_g: np.ndarray, unitvec: np.ndarray,
-                      heatmap: np.ndarray, joint_axis: np.ndarray,
-                      assoc_mask: np.ndarray, base_pose: Dict,
-                      thres_r: float = 0.2):
-    """Voted joint line in the camera frame (eval_joint_params.py:177-241).
+def _slice_per_part(arr: np.ndarray, cls: np.ndarray, n_parts: int) -> np.ndarray:
+    """Collapse a per-part-sliced (N, 3K) prediction to (N, 3) by taking
+    each point's own part's slice (eval_joint_params.py:161-165); (N, 3)
+    inputs pass through."""
+    if arr.shape[1] == 3:
+        return arr
+    out = np.zeros((arr.shape[0], 3), arr.dtype)
+    for j in range(n_parts):
+        sel = cls == j
+        out[sel] = arr[sel, 3 * j:3 * (j + 1)]
+    return out
 
-    Joint point (global NOCS) = mean over associated points of
-    nocs_g + unitvec·(1 − heatmap)·thres_r; axis = median of the per-point
-    axis.  Both mapped to camera with the base part's NAOCS pose.
-    """
+
+def vote_joint_line(nocs_g: np.ndarray, unitvec: np.ndarray,
+                    heatmap: np.ndarray, joint_axis: np.ndarray,
+                    assoc_mask: np.ndarray, *, thres_r: float = 0.2,
+                    axis_reduce: str = "median"):
+    """Voted joint line in the global-NOCS frame (eval_joint_params.py
+    :177-207): point = median over associated points of
+    nocs_g + unitvec·(1 − heatmap)·thres_r; axis = median (predictions)
+    or mean (GT labels, reference :200) of the per-point axis."""
     sel = assoc_mask > 0
     if sel.sum() == 0:
         return None
     hm = heatmap[sel].reshape(-1, 1)
     offset = unitvec[sel] * (1.0 - hm) * thres_r
-    joint_pt_nocs = (nocs_g[sel] + offset).mean(axis=0)
-    axis_nocs = np.median(joint_axis[sel], axis=0)
-    axis_nocs = axis_nocs / max(np.linalg.norm(axis_nocs), 1e-9)
-    R, s, t = base_pose["R"], base_pose["s"], base_pose["t"]
-    joint_pt_cam = s * R @ joint_pt_nocs + t
-    axis_cam = R @ axis_nocs
-    return {"point": joint_pt_cam, "axis": axis_cam,
-            "point_nocs": joint_pt_nocs, "axis_nocs": axis_nocs}
+    joint_pt = np.median(nocs_g[sel] + offset, axis=0)
+    reduce = np.median if axis_reduce == "median" else np.mean
+    axis = reduce(joint_axis[sel], axis=0)
+    axis = axis / max(np.linalg.norm(axis), 1e-9)
+    return {"point_nocs": joint_pt, "axis_nocs": axis}
+
+
+def _line_to_camera(line: Dict, pose: Dict) -> Dict:
+    R, s, t = pose["R"], pose["s"], pose["t"]
+    out = dict(line)
+    out["point"] = s * R @ line["point_nocs"] + t
+    out["axis"] = R @ line["axis_nocs"]
+    return out
+
+
+def pred_joint_lines(pred: Dict[str, np.ndarray], base_fit: Dict,
+                     n_parts: int, *, thres_r: float = 0.2,
+                     naocs_fit: bool = False) -> List[Optional[Dict]]:
+    """Predicted joint lines in the camera frame, one per joint
+    j = 1..K-1 (eval_joint_params.py:105-241).
+
+    pred holds the per-frame heads: W, nocs_per_point, gocs_per_point,
+    unitvec/heatmap/joint_axis/index_per_point.  base_fit is the fitted
+    part-0 pose.  When the fit ran in part-NOCS space (naocs_fit=False,
+    the reference protocol), the voted NAOCS joint point is first mapped
+    into part-0 NOCS with the global→part (s, t) recovered from the
+    predictions themselves (:166-174, via pose.naocs.part_scale_translation)
+    and then to camera with base_fit; when the fit ran in NAOCS space,
+    base_fit applies to the NAOCS point directly.
+    """
+    import jax.numpy as jnp
+
+    from articulated_pose_tpu.pose.naocs import part_scale_translation
+
+    cls_pred = np.argmax(pred["W"], axis=-1)
+    jcls_pred = np.argmax(pred["index_per_point"], axis=-1)
+    gn = _slice_per_part(np.asarray(pred["gocs_per_point"]), cls_pred, n_parts)
+    heat = np.asarray(pred["heatmap_per_point"]).reshape(-1)
+    unitv = np.asarray(pred["unitvec_per_point"])
+    orient = np.asarray(pred["joint_axis_per_point"])
+
+    if not naocs_fit:
+        pn = _slice_per_part(np.asarray(pred["nocs_per_point"]), cls_pred,
+                             n_parts)
+        w0 = (cls_pred == 0).astype(np.float32)
+        if w0.sum() < 3:
+            return [None] * (n_parts - 1)
+        s2, t2 = part_scale_translation(jnp.asarray(gn), jnp.asarray(pn),
+                                        jnp.asarray(w0))
+        s2, t2 = float(s2), np.asarray(t2)
+
+    lines: List[Optional[Dict]] = []
+    for j in range(1, n_parts):
+        line = vote_joint_line(gn, unitv, heat, orient,
+                               (jcls_pred == j).astype(np.float32),
+                               thres_r=thres_r, axis_reduce="median")
+        if line is None or base_fit is None:
+            lines.append(None)
+            continue
+        if not naocs_fit:
+            # NAOCS point -> part-0 NOCS -> camera (reference :224-229)
+            line = dict(line, point_nocs=line["point_nocs"] * s2 + t2)
+        lines.append(_line_to_camera(line, base_fit))
+    return lines
+
+
+def gt_joint_lines(batch: Dict[str, np.ndarray], P: np.ndarray,
+                   n_parts: int, *, thres_r: float = 0.2
+                   ) -> List[Optional[Dict]]:
+    """GT joint lines in the camera frame, voted from the GT label
+    arrays and mapped with the GT NAOCS base pose (eval_joint_params.py
+    :193-207, :234-241 — the reference derives GT joints from labels in
+    the saved h5, not from the model files)."""
+    cls_gt = np.asarray(batch["cls_gt"]).astype(int)
+    nocs_g = np.asarray(batch["nocs_gt_g"])
+    base_sel = cls_gt == 0
+    if base_sel.sum() < 5:
+        return [None] * (n_parts - 1)
+    base = compute_gt_poses(nocs_g, np.asarray(P), cls_gt, 1)[0]
+    jcls_gt = np.asarray(batch["joint_cls_gt"]).astype(int)
+    heat = np.asarray(batch["heatmap_gt"]).reshape(-1)
+    unitv = np.asarray(batch["unitvec_gt"])
+    orient = np.asarray(batch["orient_gt"])
+    lines: List[Optional[Dict]] = []
+    for j in range(1, n_parts):
+        line = vote_joint_line(nocs_g, unitv, heat, orient,
+                               (jcls_gt == j).astype(np.float32),
+                               thres_r=thres_r, axis_reduce="mean")
+        lines.append(None if line is None else _line_to_camera(line, base))
+    return lines
 
 
 def joint_errors(pred_line: Dict, gt_axis: np.ndarray, gt_point: np.ndarray):

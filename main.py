@@ -138,7 +138,8 @@ def cmd_pose_eval(args, do_pose=True):
     import jax.numpy as jnp
 
     from articulated_pose_tpu.eval.pipeline import (
-        compute_gt_poses, evaluate_fits, joint_errors, vote_joint_params)
+        compute_gt_poses, evaluate_fits, gt_joint_lines, joint_errors,
+        pred_joint_lines)
     from articulated_pose_tpu.models.ancsh import build_model
     from articulated_pose_tpu.pose.naocs import naocs_pred_view
     from articulated_pose_tpu.pose.pipeline import PoseFitConfig, fit_frame_batch
@@ -161,6 +162,7 @@ def cmd_pose_eval(args, do_pose=True):
         joint_types=tuple(spec.joint_types),
         use_gt_association=cfg.use_gt_joint_association)
     key = jax.random.PRNGKey(cfg.seed)
+    naocs_mode = args.nocs == "NAOCS"
     fits, gts = [], []
     nocs_pred_l, nocs_gt_l, cls_l = [], [], []
     joint_errs = []
@@ -170,58 +172,76 @@ def cmd_pose_eval(args, do_pose=True):
         pose_pred = {k: jnp.asarray(pred[k]) for k in
                      ("W", "nocs_per_point", "gocs_per_point",
                       "joint_axis_per_point", "index_per_point") if k in pred}
-        if args.nocs == "NAOCS":
+        if naocs_mode:
             # NAOCS baseline fit: source coords from the gocs head
-            # (baseline_naocs.py equivalent)
+            # (baseline_naocs.py:244-262 equivalent)
             pose_pred = naocs_pred_view(pose_pred, cfg.n_max_parts)
         out = jax.device_get(fit_frame_batch(
             pose_pred, jnp.asarray(batch["P"]), key, pose_cfg))
         B = batch["P"].shape[0]
         prefix = "nonlinear" if ("nonlinear_R" in out and not args.baseline_only) \
             else "baseline"
+        # GT poses: NAOCS fits are scored against GT NAOCS poses
+        # (baseline_naocs.py:216-218), NPCS fits against part-NOCS poses
+        gt_src_key = "nocs_gt_g" if naocs_mode else "nocs_gt"
         for i in range(B):
             fits.append({"R": out[f"{prefix}_R"][i], "s": out[f"{prefix}_s"][i],
                          "t": out[f"{prefix}_t"][i]})
             cls = batch["cls_gt"][i].astype(int)
             if args.synthetic:
                 gt_frame = test_it.frame_gts[fi]
+                rt_list = (gt_frame.rt_naocs2cam if naocs_mode
+                           else gt_frame.rt_nocs2cam)
                 g = {"R": [], "s": [], "t": []}
                 for j in range(cfg.n_max_parts):
-                    s_, R_, t_ = trn.decompose_similarity(gt_frame.rt_nocs2cam[j])
+                    s_, R_, t_ = trn.decompose_similarity(rt_list[j])
                     g["R"].append(R_)
                     g["s"].append(s_)
                     g["t"].append(t_)
             else:
-                parts = compute_gt_poses(batch["nocs_gt"][i], batch["P"][i],
+                parts = compute_gt_poses(batch[gt_src_key][i], batch["P"][i],
                                          cls, cfg.n_max_parts)
                 g = {"R": [p["R"] if p else None for p in parts],
                      "s": [p["s"] if p else None for p in parts],
                      "t": [p["t"] if p else None for p in parts]}
             gts.append(g)
-            nocs_pred_l.append(pred["nocs_per_point"][i])
-            nocs_gt_l.append(batch["nocs_gt"][i])
+            if naocs_mode:
+                gp = pred["gocs_per_point"][i]
+                nocs_pred_l.append(gp if gp.shape[-1] == 3 * cfg.n_max_parts
+                                   else np.tile(gp, (1, cfg.n_max_parts)))
+                nocs_gt_l.append(batch["nocs_gt_g"][i])
+            else:
+                nocs_pred_l.append(pred["nocs_per_point"][i])
+                nocs_gt_l.append(batch["nocs_gt"][i])
             cls_l.append(cls)
-            # joint-parameter eval (eval_joint_params.py equivalent) when
-            # the joint heads and a gocs head are available
-            if args.synthetic and "gocs_per_point" in pred and \
-                    "heatmap_per_point" in pred:
-                base = {"R": g["R"][0], "s": g["s"][0], "t": g["t"][0]}
-                gt_frame = test_it.frame_gts[fi]
-                for j in range(1, cfg.n_max_parts):
-                    assoc = (np.argmax(pred["index_per_point"][i], -1) == j)
-                    line = vote_joint_params(
-                        pred["gocs_per_point"][i][:, :3],
-                        pred["unitvec_per_point"][i],
-                        pred["heatmap_per_point"][i][:, 0],
-                        pred["joint_axis_per_point"][i],
-                        assoc.astype(np.float32),
-                        # NAOCS frame shares the global normalization, so
-                        # the part-0 NOCS pose approximates the base pose
-                        base, thres_r=cfg.thres_r)
-                    if line is not None and j - 1 < len(gt_frame.joint_axes_cam):
-                        joint_errs.append(joint_errors(
-                            line, gt_frame.joint_axes_cam[j - 1],
-                            gt_frame.joint_points_cam[j - 1]))
+            # joint-parameter eval (eval_joint_params.py:105-256) whenever
+            # the joint + gocs heads exist — HDF5 and synthetic alike
+            if "gocs_per_point" in pred and "heatmap_per_point" in pred \
+                    and "nocs_gt_g" in batch:
+                base_fit = ({"R": fits[-1]["R"][0], "s": fits[-1]["s"][0],
+                             "t": fits[-1]["t"][0]}
+                            if np.all(np.isfinite(fits[-1]["R"][0])) else None)
+                frame_pred = {k: np.asarray(v[i]) for k, v in pred.items()}
+                p_lines = pred_joint_lines(
+                    frame_pred, base_fit, cfg.n_max_parts,
+                    thres_r=cfg.thres_r, naocs_fit=naocs_mode)
+                if args.synthetic:
+                    # exact renderer GT (better than voted-label GT)
+                    gt_frame = test_it.frame_gts[fi]
+                    g_lines = [
+                        {"axis": gt_frame.joint_axes_cam[j - 1],
+                         "point": gt_frame.joint_points_cam[j - 1]}
+                        if j - 1 < len(gt_frame.joint_axes_cam) else None
+                        for j in range(1, cfg.n_max_parts)]
+                else:
+                    frame_gtb = {k: np.asarray(v[i]) for k, v in batch.items()}
+                    g_lines = gt_joint_lines(frame_gtb, batch["P"][i],
+                                             cfg.n_max_parts,
+                                             thres_r=cfg.thres_r)
+                for pl, gl in zip(p_lines, g_lines):
+                    if pl is not None and gl is not None:
+                        joint_errs.append(joint_errors(pl, gl["axis"],
+                                                       gl["point"]))
             fi += 1
     report = evaluate_fits(fits, gts, cfg.n_max_parts, nocs_pred=nocs_pred_l,
                            nocs_gt=nocs_gt_l, cls_list=cls_l)

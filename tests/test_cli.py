@@ -47,6 +47,24 @@ class TestCLI:
         assert r.returncode != 0
         assert "unknown category" in (r.stderr + r.stdout)
 
+    def test_eval_from_hdf5_data_root(self, tmp_path):
+        """HDF5-path pose+eval incl. the joint-parameter protocol and the
+        NAOCS baseline mode (VERDICT r1 items 4 & 7)."""
+        from articulated_pose_tpu.data.synthetic import SyntheticArticulated
+
+        root = str(tmp_path / "data")
+        gen = SyntheticArticulated(n_parts=3, points_per_part=150, seed=0)
+        gen.export_hdf5(root, "eyeglasses", n_instances=2,
+                        frames_per_instance=6, test_fraction=0.34)
+        for extra in ([], ["--nocs", "NAOCS", "--baseline_only"]):
+            r = run_cli("eval", "--item", "eyeglasses", "--data_root", root,
+                        "--batch_size", "4", "--num_points", "128",
+                        "--work_dir", str(tmp_path / "work"), *extra)
+            assert r.returncode == 0, r.stderr[-2000:]
+            assert "overall:" in r.stdout
+        assert os.path.exists(os.path.join(str(tmp_path / "work"),
+                                           "eval_all.json"))
+
     def test_train_from_hdf5_data_root(self, tmp_path):
         """Full real-data path: export reference-layout h5 -> CLI train."""
         from articulated_pose_tpu.data.synthetic import SyntheticArticulated

@@ -83,6 +83,21 @@ class TestSyntheticGT:
             fitted = tr.apply_similarity(gt.rt_nocs2cam[j], nocs)
             np.testing.assert_allclose(fitted, P, atol=1e-4)
 
+    def test_gt_naocs_pose_consistency(self):
+        """rt_naocs2cam must map GT NAOCS labels onto the input points
+        (the GT the NAOCS baseline is scored against,
+        baseline_naocs.py:216-218)."""
+        n_parts = 3
+        gen = SyntheticArticulated(n_parts=n_parts, points_per_part=200,
+                                   seed=2)
+        sample, gt = gen.frame(np.random.RandomState(7), num_points=512)
+        cls = sample["cls_gt"].astype(int)
+        for j in range(n_parts):
+            sel = cls == j
+            fitted = tr.apply_similarity(gt.rt_naocs2cam[j],
+                                         sample["nocs_gt_g"][sel])
+            np.testing.assert_allclose(fitted, sample["P"][sel], atol=1e-4)
+
     def test_gt_scale_decomposition(self):
         gen = SyntheticArticulated(n_parts=2, points_per_part=100, seed=5)
         _, gt = gen.frame(np.random.RandomState(0))

@@ -106,17 +106,45 @@ class TestGTandEval:
         assert report.n_dropped == 0
         assert "part 0" in report.summary()
 
-    def test_joint_vote_and_errors(self):
+    def test_gt_joint_lines_match_renderer_gt(self):
+        """Label-voted GT joint lines (eval_joint_params.py:193-207,
+        234-241) must agree with the renderer's exact camera-frame GT."""
         gen = SyntheticArticulated(n_parts=2, points_per_part=300, seed=12)
         sample, gt = gen.frame(np.random.RandomState(8), num_points=600)
-        cls = sample["cls_gt"].astype(int)
-        # base pose in NAOCS: Umeyama of global NOCS -> P
-        base = E.compute_gt_poses(sample["nocs_gt_g"], sample["P"], cls, 2)[0]
-        line = E.vote_joint_params(
-            sample["nocs_gt_g"], sample["unitvec_gt"],
-            sample["heatmap_gt"], sample["orient_gt"],
-            sample["joint_cls_mask"], base)
-        assert line is not None
-        errs = E.joint_errors(line, gt.joint_axes_cam[0], gt.joint_points_cam[0])
+        lines = E.gt_joint_lines(sample, sample["P"], 2)
+        assert lines[0] is not None
+        errs = E.joint_errors(lines[0], gt.joint_axes_cam[0],
+                              gt.joint_points_cam[0])
         assert errs["axis_err_deg"] < 2.0
         assert errs["line_dist"] < 0.05
+
+    def test_pred_joint_lines_from_perfect_predictions(self):
+        """Feeding GT labels through the *prediction* protocol (global→part
+        st recovery + part-0 pose, eval_joint_params.py:160-229) must
+        recover the joint line too."""
+        gen = SyntheticArticulated(n_parts=2, points_per_part=300, seed=3)
+        sample, gt = gen.frame(np.random.RandomState(5), num_points=600)
+        cls = sample["cls_gt"].astype(int)
+        N, K = sample["P"].shape[0], 2
+        # build a "perfect prediction" dict from the GT labels
+        W = np.eye(K, dtype=np.float32)[cls]
+        nocs = np.zeros((N, 3 * K), np.float32)
+        for j in range(K):
+            nocs[cls == j, 3 * j:3 * (j + 1)] = sample["nocs_gt"][cls == j]
+        pred = {
+            "W": W,
+            "nocs_per_point": nocs,
+            "gocs_per_point": sample["nocs_gt_g"],
+            "heatmap_per_point": sample["heatmap_gt"].reshape(-1, 1),
+            "unitvec_per_point": sample["unitvec_gt"],
+            "joint_axis_per_point": sample["orient_gt"],
+            "index_per_point": np.eye(K, dtype=np.float32)[
+                sample["joint_cls_gt"].astype(int)],
+        }
+        base = E.compute_gt_poses(sample["nocs_gt"], sample["P"], cls, 1)[0]
+        lines = E.pred_joint_lines(pred, base, K)
+        assert lines[0] is not None
+        errs = E.joint_errors(lines[0], gt.joint_axes_cam[0],
+                              gt.joint_points_cam[0])
+        assert errs["axis_err_deg"] < 2.0
+        assert errs["line_dist"] < 0.06
