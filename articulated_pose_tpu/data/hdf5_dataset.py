@@ -59,6 +59,36 @@ def filter_domain(files: Sequence[str], spec: CategorySpec,
     raise ValueError(f"domain must be 'seen'/'unseen'/None, got {domain!r}")
 
 
+def get_test_group(files: Sequence[str], spec: CategorySpec,
+                   domain: str = "unseen", full: bool = False) -> List[str]:
+    """Eval-protocol frame selection (lib/data_utils.py:907-957).
+
+    The reference evaluates on a subsampled grid — seen: every 3rd
+    articulation index; unseen: every 5th frame per articulation — and
+    always skips spec_list instances.  full=True keeps every frame of
+    the domain (`get_full_test`).
+    """
+    seen_arti = {str(x) for x in range(0, 31, 3)}
+    unseen_frame = {str(x) for x in range(0, 30, 5)}
+    unseen = set(spec.test_list)
+    skip = set(spec.spec_list)
+    out = []
+    for f in files:
+        parts = f.split(".")[0].split("/")
+        ins, art, frame = parts[-3], parts[-2], parts[-1]
+        if ins in skip:
+            continue
+        if domain == "unseen":
+            if ins in unseen and (full or frame in unseen_frame):
+                out.append(f)
+        elif domain == "seen":
+            if ins not in unseen and (full or art in seen_arti):
+                out.append(f)
+        else:
+            raise ValueError(f"domain must be 'seen' or 'unseen', got {domain!r}")
+    return out
+
+
 class InstanceInfo:
     """Per-instance normalization + joints, loaded from model_info.json."""
 
@@ -107,7 +137,7 @@ class HDF5Dataset:
                  num_points: int = 1024, n_max_parts: Optional[int] = None,
                  batch_size: int = 16, nocs_type: str = "AC",
                  fixed_order: bool = False, first_n: int = -1, seed: int = 0,
-                 thres_r: float = 0.2):
+                 thres_r: float = 0.2, eval_subsample: bool = False):
         if h5py is None:
             raise ImportError("h5py is required for HDF5Dataset")
         self.root_dir = root_dir
@@ -126,7 +156,12 @@ class HDF5Dataset:
                                    "demo.txt" if mode == "demo" else "test.txt"))
         files = read_split(split_file)
         if mode == "test":
-            files = filter_domain(files, self.spec, domain)
+            if eval_subsample and domain is not None:
+                # the reference eval protocol's frame grid
+                # (lib/data_utils.py:907-933)
+                files = get_test_group(files, self.spec, domain)
+            else:
+                files = filter_domain(files, self.spec, domain)
         if not fixed_order:
             self._rng.shuffle(files)
         if first_n != -1:

@@ -103,6 +103,33 @@ def vote_joint_line(nocs_g: np.ndarray, unitvec: np.ndarray,
     return {"point_nocs": joint_pt, "axis_nocs": axis}
 
 
+def segmentation_iou(W: np.ndarray, cls_gt: np.ndarray, n_parts: int,
+                     *, hungarian: bool = False) -> float:
+    """Mean per-part segmentation IoU of argmax(W) against GT labels.
+
+    With hungarian=True, prediction channels are first assigned to GT
+    parts by linear sum assignment on (1 − IoU) cost — the reference
+    computes this matching in-graph as a stop-gradient side output
+    (lib/network.py:463, lib/loss.py:14-21) but never consumes it; here
+    it powers a channel-permutation-robust eval metric.
+    """
+    from articulated_pose_tpu.losses import hungarian_matching
+
+    cls_pred = np.argmax(np.asarray(W), axis=-1)
+    cls_gt = np.asarray(cls_gt).astype(int)
+    iou = np.zeros((n_parts, n_parts))
+    for a in range(n_parts):
+        pa = cls_pred == a
+        for b in range(n_parts):
+            gb = cls_gt == b
+            union = (pa | gb).sum()
+            iou[a, b] = (pa & gb).sum() / union if union else 0.0
+    if not hungarian:
+        return float(np.mean(np.diag(iou)))
+    m = hungarian_matching((1.0 - iou)[None], np.asarray([n_parts]))[0]
+    return float(np.mean([iou[a, m[a]] for a in range(n_parts)]))
+
+
 def _line_to_camera(line: Dict, pose: Dict) -> Dict:
     R, s, t = pose["R"], pose["s"], pose["t"]
     out = dict(line)

@@ -43,7 +43,8 @@ def build_config(args):
     return cfg, spec
 
 
-def make_datasets(args, cfg, spec, mode: str, domain=None):
+def make_datasets(args, cfg, spec, mode: str, domain=None,
+                  eval_subsample=False):
     if args.synthetic:
         from articulated_pose_tpu.data.batcher import BatchIterator
         from articulated_pose_tpu.data.synthetic import SyntheticArticulated
@@ -73,7 +74,8 @@ def make_datasets(args, cfg, spec, mode: str, domain=None):
                      num_points=cfg.num_points, n_max_parts=cfg.n_max_parts,
                      batch_size=cfg.batch_size,
                      nocs_type="AC" if cfg.is_mixed else "A",
-                     fixed_order=(mode != "train"))
+                     fixed_order=(mode != "train"),
+                     eval_subsample=eval_subsample)
     it = ds.iterator(shuffle=(mode == "train"),
                      drop_last=(mode == "train"))
     it.basenames = ds.basenames
@@ -139,7 +141,7 @@ def cmd_pose_eval(args, do_pose=True):
 
     from articulated_pose_tpu.eval.pipeline import (
         compute_gt_poses, evaluate_fits, gt_joint_lines, joint_errors,
-        pred_joint_lines)
+        pred_joint_lines, segmentation_iou)
     from articulated_pose_tpu.models.ancsh import build_model
     from articulated_pose_tpu.pose.naocs import naocs_pred_view
     from articulated_pose_tpu.pose.pipeline import PoseFitConfig, fit_frame_batch
@@ -148,7 +150,10 @@ def cmd_pose_eval(args, do_pose=True):
 
     cfg, spec = build_config(args)
     model = build_model(cfg)
-    test_it = make_datasets(args, cfg, spec, "test", domain=args.domain)
+    # the reference eval protocol runs on a subsampled frame grid
+    # (lib/data_utils.py:907-933); --full_test keeps every frame
+    test_it = make_datasets(args, cfg, spec, "test", domain=args.domain,
+                            eval_subsample=not args.full_test)
     work = args.work_dir or os.path.join(cfg.experiment_dir, cfg.category,
                                          cfg.nocs_type)
     tr = Trainer(model, cfg, work_dir=work)
@@ -166,6 +171,7 @@ def cmd_pose_eval(args, do_pose=True):
     fits, gts = [], []
     nocs_pred_l, nocs_gt_l, cls_l = [], [], []
     joint_errs = []
+    seg_miou, seg_miou_h = [], []
     fi = 0
     for batch in test_it:
         pred = tr.predict(batch)
@@ -214,6 +220,11 @@ def cmd_pose_eval(args, do_pose=True):
                 nocs_pred_l.append(pred["nocs_per_point"][i])
                 nocs_gt_l.append(batch["nocs_gt"][i])
             cls_l.append(cls)
+            seg_miou.append(segmentation_iou(pred["W"][i], cls,
+                                             cfg.n_max_parts))
+            seg_miou_h.append(segmentation_iou(pred["W"][i], cls,
+                                               cfg.n_max_parts,
+                                               hungarian=True))
             # joint-parameter eval (eval_joint_params.py:105-256) whenever
             # the joint + gocs heads exist — HDF5 and synthetic alike
             if "gocs_per_point" in pred and "heatmap_per_point" in pred \
@@ -245,7 +256,13 @@ def cmd_pose_eval(args, do_pose=True):
             fi += 1
     report = evaluate_fits(fits, gts, cfg.n_max_parts, nocs_pred=nocs_pred_l,
                            nocs_gt=nocs_gt_l, cls_list=cls_l)
+    if seg_miou:
+        report.overall["seg_miou"] = float(np.mean(seg_miou))
+        report.overall["seg_miou_hungarian"] = float(np.mean(seg_miou_h))
     print(report.summary())
+    if seg_miou:
+        print(f"seg mIoU {report.overall['seg_miou']:.3f} "
+              f"(hungarian-matched {report.overall['seg_miou_hungarian']:.3f})")
     if joint_errs:
         ax = float(np.mean([e["axis_err_deg"] for e in joint_errs]))
         ld = float(np.mean([e["line_dist"] for e in joint_errs]))
@@ -278,6 +295,9 @@ def main(argv=None):
                     help="use the procedural generator instead of HDF5 data")
     ap.add_argument("--synthetic_frames", type=int, default=64)
     ap.add_argument("--baseline_only", action="store_true")
+    ap.add_argument("--full_test", action="store_true",
+                    help="evaluate every frame instead of the reference's "
+                         "subsampled grid (get_full_test vs get_test_group)")
     ap.add_argument("--nocs", default="NPCS", choices=["NPCS", "NAOCS"],
                     help="pose-fit source space (NAOCS = gocs head)")
     args = ap.parse_args(argv)

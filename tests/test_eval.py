@@ -106,6 +106,37 @@ class TestGTandEval:
         assert report.n_dropped == 0
         assert "part 0" in report.summary()
 
+    def test_segmentation_iou_and_hungarian(self):
+        rng = np.random.RandomState(0)
+        cls = rng.randint(0, 3, size=400)
+        W = np.eye(3, dtype=np.float32)[cls]
+        assert E.segmentation_iou(W, cls, 3) == 1.0
+        # permute prediction channels: fixed metric collapses, the
+        # hungarian-matched one recovers (lib/loss.py:14-21 consumed)
+        perm = [2, 0, 1]
+        Wp = W[:, perm]
+        assert E.segmentation_iou(Wp, cls, 3) < 0.1
+        assert E.segmentation_iou(Wp, cls, 3, hungarian=True) == 1.0
+
+    def test_get_test_group_subsampling(self):
+        from articulated_pose_tpu.data.hdf5_dataset import get_test_group
+        from articulated_pose_tpu.registry import get_category
+
+        spec = get_category("eyeglasses")  # test_list 0007/0016/0036
+        files = [f"hdf5/eyeglasses/{ins}/{art}/{fr}.h5"
+                 for ins in ("0007", "0042", "0006")
+                 for art in range(4) for fr in range(12)]
+        unseen = get_test_group(files, spec, "unseen")
+        # unseen keeps frames 0,5,10 of held-out instances (data_utils:913)
+        assert unseen and all("/0007/" in f for f in unseen)
+        assert {f.split("/")[-1] for f in unseen} == {"0.h5", "5.h5", "10.h5"}
+        seen = get_test_group(files, spec, "seen")
+        # seen keeps every 3rd articulation, and spec_list 0006 is skipped
+        assert seen and all("/0042/" in f for f in seen)
+        assert {f.split("/")[-2] for f in seen} == {"0", "3"}
+        full = get_test_group(files, spec, "unseen", full=True)
+        assert len(full) == 4 * 12
+
     def test_gt_joint_lines_match_renderer_gt(self):
         """Label-voted GT joint lines (eval_joint_params.py:193-207,
         234-241) must agree with the renderer's exact camera-frame GT."""
