@@ -142,6 +142,10 @@ class HDF5Dataset:
             raise ImportError("h5py is required for HDF5Dataset")
         self.root_dir = root_dir
         self.spec = get_category(category)
+        # BMVC15 real-depth data stays in metric camera units and is
+        # normalized per sample instead of by a canonical global factor
+        # (lib/dataset.py:348, lib/prediction_io.py:97-129)
+        self.metric_input = self.spec.dataset_name == "BMVC15"
         self.mode = mode
         self.num_points = num_points
         self.n_max_parts = n_max_parts or self.spec.num_parts
@@ -210,13 +214,21 @@ class HDF5Dataset:
         # does so unconditionally, lib/dataset.py:346-355 — fixed_order
         # only fixes *file* order); taking the first num_points instead
         # would truncate to part 0 whenever parts are stored contiguously.
-        return build_sample(
+        sample = build_sample(
             parts_pts, parts_canon, joints, norm,
             num_points=self.num_points, n_max_parts=self.n_max_parts,
             nocs_type=self.nocs_type, thres_r=self.thres_r,
             rng=(np.random.RandomState(zlib.crc32(path.encode()) % (2**31))
                  if self.fixed_order else self._rng),
-            permute=True)
+            permute=True, metric_input=self.metric_input)
+        if self.metric_input:
+            from articulated_pose_tpu.data.real import normalize_cloud
+
+            P_norm, center, scale = normalize_cloud(sample["P"])
+            sample["P"] = P_norm.astype(np.float32)
+            sample["P_center"] = center.astype(np.float32)
+            sample["P_scale"] = np.float32(scale)
+        return sample
 
     def iterator(self, shuffle: Optional[bool] = None,
                  drop_last: bool = True, parallel: bool = False,

@@ -99,6 +99,7 @@ def build_sample(
     nocs_type: str = "AC",
     rng: Optional[np.random.RandomState] = None,
     permute: bool = True,
+    metric_input: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Assemble one training sample from per-part camera points + canonical coords.
 
@@ -202,8 +203,9 @@ def build_sample(
     sel = (rng.permutation(n_total)[:num_points] if permute
            else np.arange(num_points) % n_total)
     cls_arr = cls_arr[sel]
-    # input cloud is scaled by the GLOBAL norm factor (lib/dataset.py:351)
-    pts_arr = pts_arr[sel] * norm.factors[0]
+    # input cloud is scaled by the GLOBAL norm factor (lib/dataset.py:351);
+    # real (BMVC15) data stays in metric camera units (dataset.py:348)
+    pts_arr = pts_arr[sel] * (1.0 if metric_input else norm.factors[0])
     p_arr, g_arr = p_arr[sel], g_arr[sel]
     heat_arr, unit_arr = heat_arr[sel], unit_arr[sel]
     orient_arr, jcls_arr = orient_arr[sel], jcls_arr[sel]

@@ -213,7 +213,8 @@ class SyntheticArticulated:
     def export_hdf5(self, root_dir: str, category: str, *,
                     n_instances: int = 2, frames_per_instance: int = 4,
                     num_expr: str = "0.01", seed: int = 0,
-                    test_fraction: float = 0.25):
+                    test_fraction: float = 0.25,
+                    instance_names: Optional[Sequence[str]] = None):
         """Write frames to disk in the reference HDF5 layout.
 
         Produces <root>/hdf5/<cat>/<ins>/<art>/<frame>.h5 with
@@ -228,8 +229,9 @@ class SyntheticArticulated:
 
         rng = np.random.RandomState(seed)
         train_files, test_files = [], []
-        for ins_i in range(n_instances):
-            ins = f"{ins_i:04d}"
+        names = (list(instance_names) if instance_names is not None
+                 else [f"{i:04d}" for i in range(n_instances)])
+        for ins in names:
             info_dir = os.path.join(root_dir, "info", category, ins)
             os.makedirs(info_dir, exist_ok=True)
             InstanceInfo(self.norm, list(self.joints)).dump(

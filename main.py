@@ -191,8 +191,11 @@ def cmd_pose_eval(args, do_pose=True):
         # (baseline_naocs.py:216-218), NPCS fits against part-NOCS poses
         gt_src_key = "nocs_gt_g" if naocs_mode else "nocs_gt"
         for i in range(B):
-            fits.append({"R": out[f"{prefix}_R"][i], "s": out[f"{prefix}_s"][i],
-                         "t": out[f"{prefix}_t"][i]})
+            # copies: device_get arrays can be read-only, and the BMVC15
+            # branch below denormalizes in place
+            fits.append({"R": np.array(out[f"{prefix}_R"][i]),
+                         "s": np.array(out[f"{prefix}_s"][i]),
+                         "t": np.array(out[f"{prefix}_t"][i])})
             cls = batch["cls_gt"][i].astype(int)
             if args.synthetic:
                 gt_frame = test_it.frame_gts[fi]
@@ -210,6 +213,19 @@ def cmd_pose_eval(args, do_pose=True):
                 g = {"R": [p["R"] if p else None for p in parts],
                      "s": [p["s"] if p else None for p in parts],
                      "t": [p["t"] if p else None for p in parts]}
+            if "P_center" in batch:
+                # BMVC15 real data: errors are reported in metric camera
+                # space (lib/prediction_io.py:97-129 P_center/P_scale)
+                from articulated_pose_tpu.data.real import denormalize_pose
+
+                c, sc = batch["P_center"][i], float(batch["P_scale"][i])
+                for j in range(cfg.n_max_parts):
+                    _, fits[-1]["s"][j], fits[-1]["t"][j] = denormalize_pose(
+                        fits[-1]["R"][j], fits[-1]["s"][j], fits[-1]["t"][j],
+                        c, sc)
+                    if g["R"][j] is not None:
+                        _, g["s"][j], g["t"][j] = denormalize_pose(
+                            g["R"][j], g["s"][j], g["t"][j], c, sc)
             gts.append(g)
             if naocs_mode:
                 gp = pred["gocs_per_point"][i]
