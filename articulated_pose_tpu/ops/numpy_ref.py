@@ -82,6 +82,17 @@ def three_nn(xyz1: np.ndarray, xyz2: np.ndarray):
     """
     B, N, _ = xyz1.shape
     d2 = np.sum((xyz1[:, :, None, :] - xyz2[:, None, :, :]) ** 2, axis=-1)  # (B,N,M)
+    M = d2.shape[-1]
+    if M < 3:
+        # fewer than 3 candidates: the reference kernel leaves the spare
+        # slots at (index 0, distance 1e40 — inf once cast to f32)
+        # (tf_interpolate.cpp:66-67)
+        pad = np.full(d2.shape[:2] + (3 - M,), np.inf, d2.dtype)
+        d2 = np.concatenate([d2, pad], axis=-1)
+        order = np.argsort(d2, axis=-1, kind="stable")[:, :, :3]
+        dist = np.take_along_axis(d2, order, axis=-1)
+        idx = np.where(order < M, order, 0)
+        return dist.astype(np.float32), idx.astype(np.int32)
     order = np.argsort(d2, axis=-1, kind="stable")[:, :, :3]
     dist = np.take_along_axis(d2, order, axis=-1)
     return dist.astype(np.float32), order.astype(np.int32)
