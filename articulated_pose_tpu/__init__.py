@@ -31,15 +31,22 @@ import os as _os
 
 if _os.environ.get("JAX_PLATFORMS"):
     # Honor JAX_PLATFORMS even when a sitecustomize pre-imported jax
-    # before the env var could take effect (it is then read too late);
-    # re-apply it through jax.config, which works until backends
-    # initialize on first device access.
+    # before the env var could take effect (it is then read too late).
+    # Only intervene when the env request is NOT already satisfied by
+    # the configured platform list — the image's sitecustomize maps its
+    # own JAX_PLATFORMS=axon to "axon,cpu", which must be left alone.
     import jax as _jax
 
-    try:
-        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
-    except RuntimeError:
-        pass  # backends already initialized; user config wins elsewhere
+    _want = _os.environ["JAX_PLATFORMS"]
+    _have = _jax.config.jax_platforms or ""
+    # "axon" is the image's own default — sitecustomize deliberately
+    # expands it to "axon,cpu" (bare "axon" breaks backend resolution),
+    # so only a *user*-chosen value is enforced verbatim.
+    if _want != "axon" and _have != _want:
+        try:
+            _jax.config.update("jax_platforms", _want)
+        except RuntimeError:
+            pass  # backends already initialized; user config wins elsewhere
 
 from articulated_pose_tpu.config import NetworkConfig, load_config
 from articulated_pose_tpu.registry import CategorySpec, get_category, DATASETS

@@ -38,6 +38,9 @@ def main():
                     help="uniform SO(3) cameras (harder; default is the "
                          "reference renderer's yaw/pitch band)")
     ap.add_argument("--work", default="/tmp/ancsh_synth_e2e")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="backbone compute dtype (A/B the MXU bf16 path)")
     args = ap.parse_args()
 
     import jax
@@ -47,7 +50,10 @@ def main():
     from articulated_pose_tpu.data.device_synthetic import (
         DeviceSynthetic, make_fused_synthetic_train_step)
     from articulated_pose_tpu.data.synthetic import SyntheticArticulated
-    from articulated_pose_tpu.eval.pipeline import evaluate_fits
+    from articulated_pose_tpu.eval.pipeline import (evaluate_fits,
+                                                    gt_joint_lines,
+                                                    joint_errors,
+                                                    pred_joint_lines)
     from articulated_pose_tpu.models.ancsh import build_model
     from articulated_pose_tpu.pose.pipeline import PoseFitConfig, fit_frame_batch
     from articulated_pose_tpu.train.state import create_train_state, make_eval_step
@@ -61,7 +67,8 @@ def main():
     cfg = NetworkConfig(n_max_parts=K, num_points=args.points,
                         batch_size=args.batch, init_learning_rate=args.lr,
                         decay_step=10**8, bn_decay_step=10**8,
-                        val_interval=0, snapshot_interval=0)
+                        val_interval=0, snapshot_interval=0,
+                        compute_dtype=args.dtype)
     gen = SyntheticArticulated(n_parts=K, points_per_part=500,
                                joint_types=joint_types, seed=0,
                                full_rotation=args.full_rotation)
@@ -110,6 +117,7 @@ def main():
                              lm_iters_refit=15, ransac_chunk=256)
     fits, gts = [], []
     nocs_pred_l, nocs_gt_l, cls_l, seg_acc = [], [], [], []
+    joint_errs = []
     ek = jax.random.PRNGKey(9999)
     sample_batch = jax.jit(lambda k, n: dg.sample_batch(k, n),
                            static_argnums=1)
@@ -134,15 +142,37 @@ def main():
             nocs_pred_l.append(pred["nocs_per_point"][i])
             nocs_gt_l.append(batch["nocs_gt"][i])
             cls_l.append(batch["cls_gt"][i].astype(int))
+            # joint-parameter metrics (eval_joint_params.py protocol)
+            if "gocs_per_point" in pred:
+                base_fit = {"R": out["nonlinear_R"][i][0],
+                            "s": out["nonlinear_s"][i][0],
+                            "t": out["nonlinear_t"][i][0]}
+                fp = {kk: np.asarray(vv[i]) for kk, vv in pred.items()}
+                fb = {kk: np.asarray(vv[i]) for kk, vv in batch.items()}
+                pl = pred_joint_lines(fp, base_fit, K)
+                gl = gt_joint_lines(fb, batch["P"][i], K)
+                for a, b in zip(pl, gl):
+                    if a is not None and b is not None:
+                        joint_errs.append(joint_errors(a, b["axis"],
+                                                       b["point"]))
 
     report = evaluate_fits(fits, gts, K, nocs_pred=nocs_pred_l,
                            nocs_gt=nocs_gt_l, cls_list=cls_l, miou_nres=30)
     print(f"seg accuracy: {np.mean(seg_acc):.4f}", flush=True)
     print(report.summary(), flush=True)
+    if joint_errs:
+        report.overall["joint_axis_err_deg"] = float(
+            np.mean([e["axis_err_deg"] for e in joint_errs]))
+        report.overall["joint_line_dist"] = float(
+            np.mean([e["line_dist"] for e in joint_errs]))
+        print(f"joints: axis err {report.overall['joint_axis_err_deg']:.2f}° "
+              f"line dist {report.overall['joint_line_dist']:.4f} "
+              f"({len(joint_errs)} joints)", flush=True)
     os.makedirs(args.work, exist_ok=True)
     with open(os.path.join(args.work, "report.json"), "w") as f:
         json.dump({"per_part": report.per_part, "overall": report.overall,
                    "seg_acc": float(np.mean(seg_acc)),
+                   "compute_dtype": args.dtype,
                    "train_steps": args.steps, "train_seconds": train_s,
                    "train_clouds_per_sec": args.steps * args.batch / train_s},
                   f, indent=1)
