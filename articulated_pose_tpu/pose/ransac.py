@@ -36,20 +36,26 @@ class SimilarityFit(NamedTuple):
     score: jax.Array      # () inlier count
 
 
-def masked_sample_indices(key: jax.Array, mask: jax.Array, shape) -> jax.Array:
+def masked_sample_indices(key: jax.Array, mask: jax.Array, shape,
+                          compact: bool = False) -> jax.Array:
     """Uniform indices into the valid entries of `mask` (with replacement).
 
     Valid positions are compacted to the front in index order; draws are
     uniform over [0, cnt).  Always returns usable indices (cnt==0 -> 0).
+    `compact=True` asserts the mask is already valid-first (mask[i] > 0
+    iff i < cnt, e.g. buffers from pipeline.partition_by_class) and skips
+    the top_k compaction — one fewer O(P log P) sort per call.
     """
+    cnt = jnp.maximum(jnp.sum((mask > 0).astype(jnp.int32)), 1)
+    u = jax.random.uniform(key, shape)
+    draws = jnp.minimum((u * cnt).astype(jnp.int32), cnt - 1)
+    if compact:
+        return draws
     P = mask.shape[0]
     iota = jnp.arange(P, dtype=jnp.int32)
     key_order = jnp.where(mask > 0, -iota, -(P + iota))
     order = -jax.lax.top_k(key_order, P)[0]                 # valid-first
     order = jnp.where(order >= P, order - P, order)
-    cnt = jnp.maximum(jnp.sum((mask > 0).astype(jnp.int32)), 1)
-    u = jax.random.uniform(key, shape)
-    draws = jnp.minimum((u * cnt).astype(jnp.int32), cnt - 1)
     return order[draws]
 
 
@@ -58,11 +64,12 @@ def _fit_3pt(source3: jax.Array, target3: jax.Array):
     return R, s, t
 
 
-@functools.partial(jax.jit, static_argnames=("niter", "chunk"))
+@functools.partial(jax.jit, static_argnames=("niter", "chunk", "compact_mask"))
 def ransac_similarity(key: jax.Array, source: jax.Array, target: jax.Array,
                       mask: jax.Array, *, niter: int = 2048,
                       inlier_th: float = 0.1,
-                      chunk: Optional[int] = None) -> SimilarityFit:
+                      chunk: Optional[int] = None,
+                      compact_mask: bool = False) -> SimilarityFit:
     """RANSAC similarity fit on masked padded buffers.
 
     source/target (P, 3) with mask (P,) ∈ {0,1}.  Returns the refit model
@@ -70,7 +77,8 @@ def ransac_similarity(key: jax.Array, source: jax.Array, target: jax.Array,
     hypotheses scored at once (memory control for the (H, P) residual).
     """
     P = source.shape[0]
-    idx = masked_sample_indices(key, mask, (niter, 3))          # (H, 3)
+    idx = masked_sample_indices(key, mask, (niter, 3),
+                                compact=compact_mask)           # (H, 3)
     src3 = source[idx]                                          # (H, 3, 3)
     tgt3 = target[idx]
     Rs, ss, ts = jax.vmap(_fit_3pt)(src3, tgt3)                 # (H,3,3),(H,),(H,3)

@@ -106,6 +106,67 @@ def write_frame_h5(path: str, parts_cam: Sequence[np.ndarray],
             gc.create_dataset(str(j), data=canon.astype(np.float32))
 
 
+def write_pointcloud(filename: str, xyz: np.ndarray,
+                     rgb: Optional[np.ndarray] = None) -> None:
+    """Binary little-endian PLY writer (lib/data_utils.py:163-183),
+    vectorized instead of the reference's per-point struct.pack loop."""
+    xyz = np.asarray(xyz, np.float32)
+    assert xyz.ndim == 2 and xyz.shape[1] == 3, "xyz must be (N, 3)"
+    if rgb is None:
+        rgb = np.full(xyz.shape, 255, np.uint8)
+    rgb = np.asarray(rgb, np.uint8)
+    assert rgb.shape == xyz.shape, "rgb must match xyz shape"
+    rec = np.empty(xyz.shape[0], dtype=[("x", "<f4"), ("y", "<f4"),
+                                        ("z", "<f4"), ("r", "u1"),
+                                        ("g", "u1"), ("b", "u1")])
+    rec["x"], rec["y"], rec["z"] = xyz.T
+    rec["r"], rec["g"], rec["b"] = rgb.T
+    header = ("ply\nformat binary_little_endian 1.0\n"
+              f"element vertex {xyz.shape[0]}\n"
+              "property float x\nproperty float y\nproperty float z\n"
+              "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+              "end_header\n")
+    with open(filename, "wb") as f:
+        f.write(header.encode())
+        f.write(rec.tobytes())
+
+
+def get_pose(root_dir: str, category: str, item: str, art_index: str,
+             frame_order: str, mode: str = "train", num_parts: int = 5):
+    """Per-part model→world transforms + view/proj matrices from a
+    rendered frame's gt.yml (lib/data_utils.py:186-228).
+
+    Part 0 is the world-anchored base; parts k>0 carry PyBullet link
+    (pos, orn-xyzw) states recorded by the renderer.
+    Returns (parts_model2world [list of 4x4], viewMat, projMat).
+    """
+    import yaml
+
+    from articulated_pose_tpu.utils.transforms import quaternion_matrix
+
+    sub = "demo" if mode == "demo" else "render"
+    meta_path = os.path.join(root_dir, sub, category, item, str(art_index),
+                             "gt.yml")
+    with open(meta_path) as f:
+        meta = yaml.safe_load(f)
+    pose = meta[f"frame_{frame_order}"]
+    view = np.asarray(pose["viewMat"], np.float64).reshape(4, 4).T
+    proj = np.asarray(pose["projMat"], np.float64).reshape(4, 4).T
+    m2w = []
+    for k in range(num_parts):
+        if k == 0:
+            pos = np.zeros(3)
+            orn = np.array([0.0, 0.0, 0.0, 1.0])
+        else:
+            pos = np.asarray(pose["obj"][k - 1][4], np.float64)
+            orn = np.asarray(pose["obj"][k - 1][5], np.float64)
+        # gt.yml orientation is xyzw; quaternion_matrix takes wxyz
+        T = quaternion_matrix(np.array([orn[3], orn[0], orn[1], orn[2]]))
+        T[:3, 3] = pos
+        m2w.append(T)
+    return m2w, view, proj
+
+
 def write_splits(root_dir: str, category: str, files: Sequence[str],
                  test_instances: Sequence[str], num_expr: str = "0.01") -> None:
     """train/test split txts by held-out instances (lib/data_utils.py:76-133)."""

@@ -73,6 +73,45 @@ def translation_along(axis: np.ndarray, dist: float) -> np.ndarray:
     return T
 
 
+def quaternion_matrix(q: np.ndarray) -> np.ndarray:
+    """4x4 rotation matrix from a [w, x, y, z] quaternion
+    (lib/transformations.py:1174-1201 convention, used by get_pose)."""
+    q = np.asarray(q, np.float64).copy()
+    n = np.dot(q, q)
+    if n < EPS:
+        return np.eye(4)
+    q *= np.sqrt(2.0 / n)
+    outer = np.outer(q, q)
+    return np.array([
+        [1.0 - outer[2, 2] - outer[3, 3], outer[1, 2] - outer[3, 0],
+         outer[1, 3] + outer[2, 0], 0.0],
+        [outer[1, 2] + outer[3, 0], 1.0 - outer[1, 1] - outer[3, 3],
+         outer[2, 3] - outer[1, 0], 0.0],
+        [outer[1, 3] - outer[2, 0], outer[2, 3] + outer[1, 0],
+         1.0 - outer[1, 1] - outer[2, 2], 0.0],
+        [0.0, 0.0, 0.0, 1.0]])
+
+
+def quaternion_from_matrix(R: np.ndarray) -> np.ndarray:
+    """[w, x, y, z] quaternion from a rotation matrix (Shepperd's method,
+    lib/transformations.py:1204-1260 equivalent)."""
+    M = np.asarray(R, np.float64)[:3, :3]
+    tr = np.trace(M)
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2.0
+        return np.array([0.25 * s, (M[2, 1] - M[1, 2]) / s,
+                         (M[0, 2] - M[2, 0]) / s, (M[1, 0] - M[0, 1]) / s])
+    i = int(np.argmax(np.diag(M)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(max(M[i, i] - M[j, j] - M[k, k] + 1.0, EPS)) * 2.0
+    q = np.zeros(4)
+    q[0] = (M[k, j] - M[j, k]) / s
+    q[1 + i] = 0.25 * s
+    q[1 + j] = (M[j, i] + M[i, j]) / s
+    q[1 + k] = (M[k, i] + M[i, k]) / s
+    return q
+
+
 def rot_diff_degree(R1: np.ndarray, R2: np.ndarray) -> float:
     """Angle between two rotations in degrees (lib/d3_utils.py:144-148)."""
     cos = (np.trace(R1 @ R2.T) - 1.0) / 2.0

@@ -91,6 +91,102 @@ def plot_bbox(ax_or_path, bbox: np.ndarray, pts: Optional[np.ndarray] = None,
         plt.close(fig)
 
 
+def plot_arrows_list(points_list: Sequence[np.ndarray],
+                     offsets_list: Sequence[np.ndarray],
+                     joints: Optional[Sequence[Dict]] = None,
+                     titles: Optional[Sequence[str]] = None, sparse: int = 20,
+                     save_path: Optional[str] = None):
+    """Row of arrow plots, one subplot per (points, offsets[, joint])
+    triple (lib/vis_utils.py:291-344 plot_arrows_list)."""
+    n = len(points_list)
+    fig = plt.figure(figsize=(5 * n, 5))
+    for i in range(n):
+        ax = fig.add_subplot(1, n, i + 1, projection="3d")
+        p, off = points_list[i], offsets_list[i]
+        ax.scatter(p[:, 0], p[:, 1], p[:, 2], s=2)
+        sel = np.arange(0, len(p), max(1, len(p) // sparse))
+        ax.quiver(p[sel, 0], p[sel, 1], p[sel, 2],
+                  off[sel, 0], off[sel, 1], off[sel, 2], color="r")
+        if joints is not None and joints[i] is not None:
+            p0 = np.asarray(joints[i]["point"]).reshape(3)
+            a = np.asarray(joints[i]["axis"]).reshape(3)
+            line = p0[None] + np.linspace(-0.5, 0.5, 10)[:, None] * a[None]
+            ax.plot(line[:, 0], line[:, 1], line[:, 2], "g-", linewidth=3)
+        if titles:
+            ax.set_title(titles[i])
+    if save_path:
+        fig.savefig(save_path, dpi=90)
+        plt.close(fig)
+        return None
+    return fig
+
+
+def plot_joints_bb_list(pts: np.ndarray, bboxes: Sequence[np.ndarray],
+                        joints: Sequence[Dict], title: str = "",
+                        save_path: Optional[str] = None):
+    """Posed per-part boxes + joint lines over the input cloud
+    (lib/vis_utils.py:346-430 plot_joints_bb_list)."""
+    fig = plt.figure(figsize=(7, 7))
+    ax = fig.add_subplot(111, projection="3d")
+    ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], s=1, c="gray")
+    for b in bboxes:
+        plot_bbox(ax, np.asarray(b))
+    for j in joints:
+        if j is None:
+            continue
+        p0 = np.asarray(j["point"]).reshape(3)
+        a = np.asarray(j["axis"]).reshape(3)
+        line = p0[None] + np.linspace(-0.5, 0.5, 10)[:, None] * a[None]
+        ax.plot(line[:, 0], line[:, 1], line[:, 2], "g-", linewidth=3)
+    ax.set_title(title)
+    if save_path:
+        fig.savefig(save_path, dpi=90)
+        plt.close(fig)
+        return None
+    return fig
+
+
+def draw_segmentation_2d(image: np.ndarray, mask: np.ndarray,
+                         n_parts: int, alpha: float = 0.5,
+                         save_path: Optional[str] = None):
+    """Per-part segmentation overlay on an RGB image
+    (lib/vis_utils.py:508-571 2D draws, matplotlib instead of cv2)."""
+    cmap = plt.get_cmap("tab10")
+    over = np.asarray(image, np.float64).copy()
+    if over.max() > 1.0:
+        over /= 255.0
+    for j in range(n_parts):
+        sel = mask == j
+        color = np.asarray(cmap(j % 10)[:3])
+        over[sel] = (1 - alpha) * over[sel] + alpha * color
+    fig, ax = plt.subplots(figsize=(6, 6))
+    ax.imshow(np.clip(over, 0, 1))
+    ax.axis("off")
+    if save_path:
+        fig.savefig(save_path, dpi=90, bbox_inches="tight")
+        plt.close(fig)
+        return None
+    return fig
+
+
+def viz_err_distri(errs: np.ndarray, bins: int = 30, title: str = "",
+                   save_path: Optional[str] = None):
+    """Error-distribution plot (lib/vis_utils.py:470-506 hist/cdf)."""
+    errs = np.asarray(errs).ravel()
+    fig, (a1, a2) = plt.subplots(1, 2, figsize=(10, 4))
+    a1.hist(errs, bins=bins)
+    a1.set_title(f"{title} histogram")
+    xs = np.sort(errs)
+    a2.plot(xs, np.arange(1, len(xs) + 1) / len(xs))
+    a2.set_title(f"{title} CDF")
+    a2.set_ylim(0, 1)
+    if save_path:
+        fig.savefig(save_path, dpi=90)
+        plt.close(fig)
+        return None
+    return fig
+
+
 def hist_show(values: Sequence[np.ndarray], labels: Sequence[str],
               bins: int = 50, title: str = "",
               save_path: Optional[str] = None):

@@ -74,6 +74,25 @@ class TestVis:
         for f in ("p.png", "a.png", "h.png", "b.png"):
             assert os.path.getsize(os.path.join(str(tmp_path), f)) > 0
 
+    def test_extended_plots(self, rng, tmp_path):
+        from articulated_pose_tpu.eval.metrics import get_3d_bbox
+
+        pts = rng.rand(60, 3)
+        joint = {"point": [0, 0, 0], "axis": [0, 0, 1]}
+        vis.plot_arrows_list([pts, pts + 1], [rng.rand(60, 3)] * 2,
+                             joints=[joint, None], titles=["a", "b"],
+                             save_path=os.path.join(str(tmp_path), "al.png"))
+        vis.plot_joints_bb_list(pts, [get_3d_bbox([1, 1, 1])], [joint],
+                                save_path=os.path.join(str(tmp_path), "jb.png"))
+        img = rng.rand(32, 32, 3)
+        mask = rng.randint(0, 3, (32, 32))
+        vis.draw_segmentation_2d(img, mask, 3,
+                                 save_path=os.path.join(str(tmp_path), "sg.png"))
+        vis.viz_err_distri(rng.rand(200) * 10, title="rot",
+                           save_path=os.path.join(str(tmp_path), "ed.png"))
+        for f in ("al.png", "jb.png", "sg.png", "ed.png"):
+            assert os.path.getsize(os.path.join(str(tmp_path), f)) > 0
+
 
 class TestNaocs:
     def test_part_scale_translation_exact(self, rng):

@@ -136,3 +136,61 @@ class TestRenderGate:
             pytest.skip("pybullet present")
         with pytest.raises(ImportError, match="SyntheticArticulated"):
             render.PyBulletRenderer(["x.urdf"])
+
+
+class TestPlyWriter:
+    def test_round_trip(self, tmp_path, rng):
+        from articulated_pose_tpu.tools.preprocess import write_pointcloud
+
+        xyz = rng.rand(50, 3).astype(np.float32)
+        rgb = (rng.rand(50, 3) * 255).astype(np.uint8)
+        path = str(tmp_path / "cloud.ply")
+        write_pointcloud(path, xyz, rgb)
+        raw = open(path, "rb").read()
+        header, blob = raw.split(b"end_header\n", 1)
+        assert b"element vertex 50" in header
+        rec = np.frombuffer(blob, dtype=[("x", "<f4"), ("y", "<f4"),
+                                         ("z", "<f4"), ("r", "u1"),
+                                         ("g", "u1"), ("b", "u1")])
+        got = np.stack([rec["x"], rec["y"], rec["z"]], 1)
+        np.testing.assert_allclose(got, xyz, rtol=1e-6)
+        np.testing.assert_array_equal(
+            np.stack([rec["r"], rec["g"], rec["b"]], 1), rgb)
+
+
+class TestGetPose:
+    def test_reads_gt_yml(self, tmp_path, rng):
+        import yaml
+
+        from articulated_pose_tpu.tools.preprocess import get_pose
+        from articulated_pose_tpu.utils import transforms as tr
+
+        R = tr.random_rotation(rng)
+        q = tr.quaternion_from_matrix(R)          # wxyz
+        orn_xyzw = [float(q[1]), float(q[2]), float(q[3]), float(q[0])]
+        pos = [0.1, -0.2, 0.3]
+        meta = {"frame_0": {
+            "viewMat": np.eye(4).T.reshape(-1).tolist(),
+            "projMat": np.eye(4).T.reshape(-1).tolist(),
+            "obj": [[0, 0, 0, 0, pos, orn_xyzw]],
+        }}
+        d = tmp_path / "render" / "oven" / "0001" / "0"
+        d.mkdir(parents=True)
+        with open(d / "gt.yml", "w") as f:
+            yaml.safe_dump(meta, f)
+        m2w, view, proj = get_pose(str(tmp_path), "oven", "0001", "0", "0",
+                                   num_parts=2)
+        np.testing.assert_allclose(m2w[0], np.eye(4), atol=1e-12)
+        np.testing.assert_allclose(m2w[1][:3, :3], R, atol=1e-8)
+        np.testing.assert_allclose(m2w[1][:3, 3], pos, atol=1e-12)
+
+
+class TestQuaternions:
+    def test_round_trip(self, rng):
+        from articulated_pose_tpu.utils import transforms as tr
+
+        for _ in range(20):
+            R = tr.random_rotation(rng)
+            q = tr.quaternion_from_matrix(R)
+            np.testing.assert_allclose(tr.quaternion_matrix(q)[:3, :3], R,
+                                       atol=1e-8)
