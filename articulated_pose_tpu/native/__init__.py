@@ -28,13 +28,19 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not os.path.exists(_SO):
+        srcs = [os.path.join(_DIR, f) for f in os.listdir(_DIR)
+                if f.endswith(".cpp")]
+        stale = (not os.path.exists(_SO)
+                 or any(os.path.getmtime(s) > os.path.getmtime(_SO)
+                        for s in srcs))
+        if stale:
             try:
-                subprocess.run(["make", "-C", _DIR], check=True,
+                subprocess.run(["make", "-C", _DIR, "-B"], check=True,
                                capture_output=True, timeout=120)
             except Exception:
-                _build_failed = True
-                return None
+                if not os.path.exists(_SO):
+                    _build_failed = True
+                    return None
         try:
             lib = ctypes.CDLL(_SO)
         except OSError:
@@ -52,6 +58,13 @@ def _load() -> Optional[ctypes.CDLL]:
             c_f32, c_f32, c_f32, c_f32, c_f32,
             c_f32, c_f32, c_f32, c_f32, c_f32, c_f32,
         ]
+        if hasattr(lib, "ancsh_render_balls"):
+            c_u8 = ctypes.POINTER(ctypes.c_uint8)
+            lib.ancsh_render_balls.restype = ctypes.c_int
+            lib.ancsh_render_balls.argtypes = [
+                ctypes.c_int32, ctypes.c_int32, c_u8, ctypes.c_int32,
+                c_i32, c_f32, c_f32, c_f32, ctypes.c_int32,
+            ]
         _lib = lib
         return _lib
 
@@ -140,3 +153,37 @@ def build_labels_native(parts_pts: Sequence[np.ndarray],
         "orient_gt": orient, "joint_cls_gt": jcls, "joint_cls_mask": jmask,
         "joint_params_gt": jparams,
     }
+
+
+def render_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "ancsh_render_balls")
+
+
+def render_balls_native(image: np.ndarray, xyz: np.ndarray,
+                        colors: np.ndarray, ballradius: int) -> None:
+    """Z-buffered sphere splatting into `image` (H,W,3 uint8), in place.
+
+    xyz is (N,3) int32 screen coords (row, col, depth; larger depth is
+    closer); colors is (N,3) float32 in [0,255].  Native twin of
+    utils.ball_viewer._render_balls_numpy; the reference shipped this
+    stage only as a prebuilt binary (show3d_balls.py:23).
+    """
+    lib = _load()
+    assert lib is not None and hasattr(lib, "ancsh_render_balls")
+    assert image.dtype == np.uint8 and image.ndim == 3 and image.shape[2] == 3
+    xyz = np.ascontiguousarray(xyz, np.int32)
+    r = np.ascontiguousarray(colors[:, 0], np.float32)
+    g = np.ascontiguousarray(colors[:, 1], np.float32)
+    b = np.ascontiguousarray(colors[:, 2], np.float32)
+    assert image.flags.c_contiguous
+    rc = lib.ancsh_render_balls(
+        np.int32(image.shape[0]), np.int32(image.shape[1]),
+        image.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        np.int32(xyz.shape[0]),
+        xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        r.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        g.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        np.int32(ballradius))
+    assert rc == 0, f"native ball render failed rc={rc}"

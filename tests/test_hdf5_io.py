@@ -115,16 +115,23 @@ class TestSpecMapReordering:
         registry.register_category(registry.CategorySpec(
             name="specmap_cat", parts_map=((0,), (1,), (2,)), num_parts=3,
             spec_map={"0000": order}, joint_types=("revolute", "revolute")))
-        # num_points == total points so the deterministic selection covers
-        # every point exactly once and counts permute exactly
-        ds_plain = HDF5Dataset(root, "specmap_cat", mode="train",
-                               num_points=360, batch_size=1, fixed_order=True)
-        # temporarily strip the spec_map for the unordered baseline
-        ds_plain.spec = dataclasses.replace(ds_plain.spec, spec_map=None)
-        s_plain = ds_plain.fetch(0)
-        ds_mapped = HDF5Dataset(root, "specmap_cat", mode="train",
-                                num_points=360, batch_size=1, fixed_order=True)
-        s_mapped = ds_mapped.fetch(0)
+        try:
+            # num_points == total points so the deterministic selection
+            # covers every point exactly once and counts permute exactly
+            ds_plain = HDF5Dataset(root, "specmap_cat", mode="train",
+                                   num_points=360, batch_size=1,
+                                   fixed_order=True)
+            # temporarily strip the spec_map for the unordered baseline
+            ds_plain.spec = dataclasses.replace(ds_plain.spec, spec_map=None)
+            s_plain = ds_plain.fetch(0)
+            ds_mapped = HDF5Dataset(root, "specmap_cat", mode="train",
+                                    num_points=360, batch_size=1,
+                                    fixed_order=True)
+            s_mapped = ds_mapped.fetch(0)
+        finally:
+            # leave the global registry as we found it (the registry
+            # parity tests assert over every registered category)
+            registry.DATASETS.pop("specmap_cat", None)
         # per-class point counts permute exactly by `order`
         cnt_plain = np.bincount(s_plain["cls_gt"].astype(int), minlength=3)
         cnt_mapped = np.bincount(s_mapped["cls_gt"].astype(int), minlength=3)
