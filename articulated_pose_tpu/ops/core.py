@@ -118,16 +118,36 @@ def query_ball_point(radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.A
     return idx.astype(jnp.int32), cnt
 
 
-def group_point(points: jax.Array, idx: jax.Array) -> jax.Array:
+def group_point(points: jax.Array, idx: jax.Array,
+                impl: str = "auto") -> jax.Array:
     """points (B, N, C), idx (B, M, S) -> (B, M, S, C) (tf_grouping GroupPoint).
 
     Autodiff through the gather yields the scatter-add gradient that the
     reference implemented by hand with atomicAdd (tf_grouping_g.cu:61-78).
+
+    impl (measured at the backbone shapes on v5e, same-window controls):
+    - 'flat': single-axis `jnp.take` on globally-offset flat indices —
+      ~2× faster than the batched take_along_axis gather XLA emits for
+      (B, M·S) axis-1 indices (15.5 → 7.4 ms at the SA1-xyz shape).
+    - 'onehot': one-hot × points matmul on the MXU (grad = transposed
+      matmul, i.e. the scatter-add as a matmul too).  Exact (each row
+      sums exactly one value).  Fastest when C is wide and the (M·S, N)
+      one-hot fits comfortably (6.4 → 2.3 ms at the SA2 feature shape),
+      but its one-hot materializes M·S·N elements.
+    - 'auto': 'onehot' when C ≥ 32 and M·S·N ≤ 8M per batch row,
+      else 'flat'.
     """
     B, N, C = points.shape
     _, M, S = idx.shape
-    flat = idx.reshape(B, M * S)
-    out = jnp.take_along_axis(points, flat[..., None], axis=1)
+    if impl == "auto":
+        impl = "onehot" if (C >= 32 and M * S * N <= 8_000_000) else "flat"
+    if impl == "onehot":
+        oh = jax.nn.one_hot(idx.reshape(B, M * S), N, dtype=points.dtype)
+        out = jnp.einsum("bkn,bnc->bkc", oh, points)
+        return out.reshape(B, M, S, C)
+    flat = (idx.reshape(B, M * S)
+            + (jnp.arange(B, dtype=idx.dtype) * N)[:, None]).reshape(-1)
+    out = jnp.take(points.reshape(B * N, C), flat, axis=0)
     return out.reshape(B, M, S, C)
 
 

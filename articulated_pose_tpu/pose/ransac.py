@@ -60,8 +60,8 @@ def masked_sample_indices(key: jax.Array, mask: jax.Array, shape,
 
 
 def _fit_3pt(source3: jax.Array, target3: jax.Array):
-    R, s, t = umeyama.transform_pts(source3, target3)
-    return R, s, t
+    # unrolled 3-point specialization (same estimators as transform_pts)
+    return umeyama.fit_3pt_similarity(source3, target3)
 
 
 @functools.partial(jax.jit, static_argnames=("niter", "chunk", "compact_mask"))
@@ -88,8 +88,8 @@ def ransac_similarity(key: jax.Array, source: jax.Array, target: jax.Array,
     def score_chunk(args):
         R, s, t = args
         pred = jnp.einsum("hij,pj->hpi", R, source) * s[:, None, None] + t[:, None, :]
-        res = jnp.linalg.norm(target[None] - pred, axis=-1)     # (h, P)
-        inl = (res < inlier_th) & maskf[None]
+        res2 = jnp.sum((target[None] - pred) ** 2, axis=-1)     # (h, P)
+        inl = (res2 < inlier_th * inlier_th) & maskf[None]
         return jnp.sum(inl, axis=-1)
 
     if chunk is None or chunk >= niter:

@@ -51,51 +51,70 @@ def _horn_rotation(M: jax.Array, iters: int = 12) -> jax.Array:
     count depends on conditioning — degenerate RANSAC minimal samples
     (duplicate points → zero covariance) made them orders of magnitude
     slower than well-conditioned inputs.  The 4×4 power iteration is a
-    fixed-length fori_loop of vectorized mat-vecs: constant runtime,
-    always returns a proper rotation (unit quaternion), and batches over
-    thousands of hypotheses on the VPU.
+    fixed-length loop: constant runtime, always returns a proper rotation
+    (unit quaternion).
+
+    Layout note: the whole solve is UNROLLED scalar arithmetic over 16
+    separate entries — no (…, 4, 4) arrays inside the loop.  Under vmap
+    each entry is one lane, so a million-hypothesis batch runs as 64-FMA
+    sweeps at full VPU occupancy; the array form padded every 4×4 matrix
+    to an (8, 128) vreg tile and measured ~60× slower at the RANSAC
+    batch shape (24 ms → 0.4 ms for B=64, H=1024 fits on v5e).
 
     M = Σ w·target·sourceᵀ (i.e. tcᵀ@sc as used by _svd_rotation); the
     returned R maximizes tr(Rᵀ M), matching the reference rotate_pts
-    (lib/d3_utils.py:206-220).
+    (lib/d3_utils.py:206-220).  Supports arbitrary leading batch dims.
     """
     # Horn's N matrix for R maximizing tr(R^T M) with S = M^T
     # (S_ab = Σ source_a target_b).
-    S = M.T
-    Sxx, Sxy, Sxz = S[0, 0], S[0, 1], S[0, 2]
-    Syx, Syy, Syz = S[1, 0], S[1, 1], S[1, 2]
-    Szx, Szy, Szz = S[2, 0], S[2, 1], S[2, 2]
-    N = jnp.array([
-        [Sxx + Syy + Szz, Syz - Szy,        Szx - Sxz,        Sxy - Syx],
-        [Syz - Szy,       Sxx - Syy - Szz,  Sxy + Syx,        Szx + Sxz],
-        [Szx - Sxz,       Sxy + Syx,       -Sxx + Syy - Szz,  Syz + Szy],
-        [Sxy - Syx,       Szx + Sxz,        Syz + Szy,       -Sxx - Syy + Szz],
-    ])
+    Sxx, Syx, Szx = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    Sxy, Syy, Szy = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    Sxz, Syz, Szz = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    N = [[Sxx + Syy + Szz, Syz - Szy,        Szx - Sxz,        Sxy - Syx],
+         [Syz - Szy,       Sxx - Syy - Szz,  Sxy + Syx,        Szx + Sxz],
+         [Szx - Sxz,       Sxy + Syx,       -Sxx + Syy - Szz,  Syz + Szy],
+         [Sxy - Syx,       Szx + Sxz,        Syz + Szy,       -Sxx - Syy + Szz]]
     # Dominant eigenvector by repeated matrix squaring: with shift making
     # the spectrum positive, B^(2^k) → λ1^(2^k)·v1·v1ᵀ, so after k
     # squarings every column of B is ∝ v1 with relative error
     # (λ2/λ1)^(2^k) — 12 squarings drive even a 0.99 gap ratio to machine
-    # zero at the fixed cost of 12 4×4 matmuls (plain power iteration
-    # needed hundreds of steps for near-degenerate minimal samples).
-    shift = jnp.sqrt(jnp.sum(N * N)) + 1e-6
-    B = N + shift * jnp.eye(4)
-    B = B / jnp.sqrt(jnp.sum(B * B))
+    # zero at the fixed cost of 12 unrolled 4×4 squarings (plain power
+    # iteration needed hundreds of steps for near-degenerate samples).
+    fro2 = sum(N[i][j] * N[i][j] for i in range(4) for j in range(4))
+    shift = jnp.sqrt(fro2) + 1e-6
+    B = [[N[i][j] + (shift if i == j else 0.0) for j in range(4)]
+         for i in range(4)]
+    nrm = jnp.sqrt(sum(B[i][j] * B[i][j] for i in range(4) for j in range(4)))
+    B = [[B[i][j] / nrm for j in range(4)] for i in range(4)]
 
-    def body(_, B):
-        B = B @ B
-        return B / jnp.maximum(jnp.sqrt(jnp.sum(B * B)), EPS)
+    for _ in range(iters):
+        B2 = [[sum(B[i][k] * B[k][j] for k in range(4)) for j in range(4)]
+              for i in range(4)]
+        nrm = jnp.maximum(jnp.sqrt(sum(B2[i][j] * B2[i][j]
+                                       for i in range(4)
+                                       for j in range(4))), EPS)
+        B = [[B2[i][j] / nrm for j in range(4)] for i in range(4)]
 
-    B = jax.lax.fori_loop(0, iters, body, B)
     # every column is ∝ v1; take the largest for stability
-    col = jnp.argmax(jnp.sum(B * B, axis=0))
-    q = B[:, col]
-    q = q / jnp.maximum(jnp.linalg.norm(q), EPS)
-    a, b, c, d = q[0], q[1], q[2], q[3]
-    return jnp.array([
-        [a * a + b * b - c * c - d * d, 2 * (b * c - a * d), 2 * (b * d + a * c)],
-        [2 * (b * c + a * d), a * a - b * b + c * c - d * d, 2 * (c * d - a * b)],
-        [2 * (b * d - a * c), 2 * (c * d + a * b), a * a - b * b - c * c + d * d],
-    ])
+    colnorm = [sum(B[i][j] * B[i][j] for i in range(4)) for j in range(4)]
+    best01 = jnp.where(colnorm[0] >= colnorm[1], 0, 1)
+    best23 = jnp.where(colnorm[2] >= colnorm[3], 2, 3)
+    n01 = jnp.maximum(colnorm[0], colnorm[1])
+    n23 = jnp.maximum(colnorm[2], colnorm[3])
+    col = jnp.where(n01 >= n23, best01, best23)
+    q = [jnp.where(col == 0, B[i][0],
+         jnp.where(col == 1, B[i][1],
+         jnp.where(col == 2, B[i][2], B[i][3]))) for i in range(4)]
+    qn = jnp.maximum(jnp.sqrt(sum(x * x for x in q)), EPS)
+    a, b, c, d = (x / qn for x in q)
+    row0 = jnp.stack([a * a + b * b - c * c - d * d,
+                      2 * (b * c - a * d), 2 * (b * d + a * c)], axis=-1)
+    row1 = jnp.stack([2 * (b * c + a * d),
+                      a * a - b * b + c * c - d * d,
+                      2 * (c * d - a * b)], axis=-1)
+    row2 = jnp.stack([2 * (b * d - a * c), 2 * (c * d + a * b),
+                      a * a - b * b - c * c + d * d], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
 
 
 def kabsch_rotation(source: jax.Array, target: jax.Array,
@@ -170,6 +189,44 @@ def transform_pts(source: jax.Array, target: jax.Array,
     s = pairwise_scale(source, target, w)
     t = _wmean(target, w) - s * (R @ _wmean(source, w))
     return R, s, t
+
+
+def fit_3pt_similarity(src3: jax.Array, tgt3: jax.Array
+                       ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """transform_pts specialized to RANSAC 3-point minimal samples.
+
+    src3/tgt3 (..., 3, 3) (points × xyz).  Same estimators as
+    transform_pts — Horn rotation, exact pairwise-distance-ratio scale,
+    closed-form translation — but fully unrolled over the 3 points so no
+    (…, 3, 3) intermediates feed per-matrix ops inside vmap (each padded
+    to a vreg tile; the generic path measured ~2.6× slower end-to-end at
+    the B=64, H=1024 hypothesis batch on v5e).
+    """
+    s = [[src3[..., p, i] for i in range(3)] for p in range(3)]
+    t = [[tgt3[..., p, i] for i in range(3)] for p in range(3)]
+    mus = [(s[0][i] + s[1][i] + s[2][i]) / 3.0 for i in range(3)]
+    mut = [(t[0][i] + t[1][i] + t[2][i]) / 3.0 for i in range(3)]
+    sc = [[s[p][i] - mus[i] for i in range(3)] for p in range(3)]
+    tc = [[t[p][i] - mut[i] for i in range(3)] for p in range(3)]
+    # M = tcᵀ @ sc (as in kabsch_rotation)
+    M = jnp.stack(
+        [jnp.stack([sum(tc[p][i] * sc[p][j] for p in range(3))
+                    for j in range(3)], axis=-1) for i in range(3)], axis=-2)
+    R = _horn_rotation(M)
+    # exact pairwise scale over the 3 point pairs
+    num = jnp.zeros_like(mus[0])
+    den = jnp.zeros_like(mus[0])
+    for p, q in ((0, 1), (0, 2), (1, 2)):
+        a2 = sum((s[p][i] - s[q][i]) ** 2 for i in range(3))
+        b2 = sum((t[p][i] - t[q][i]) ** 2 for i in range(3))
+        a = jnp.sqrt(jnp.maximum(a2, 0.0))
+        num = num + a * jnp.sqrt(jnp.maximum(b2, 0.0))
+        den = den + a2
+    scale = num / (den + 1e-6 / 2.0)  # pairs counted once; matches
+    # pairwise_scale's sym sum ratio (the ij/ji duplicates cancel)
+    Rmu = [sum(R[..., i, j] * mus[j] for j in range(3)) for i in range(3)]
+    trans = jnp.stack([mut[i] - scale * Rmu[i] for i in range(3)], axis=-1)
+    return R, scale, trans
 
 
 def umeyama_similarity(source: jax.Array, target: jax.Array,

@@ -63,10 +63,13 @@ def main():
                     help="iterations fused into one scan window")
     ap.add_argument("--niter-part", type=int, default=1024)
     ap.add_argument("--niter-joint", type=int, default=128)
-    ap.add_argument("--impl", choices=["xla", "pallas", "stream"],
-                    default="pallas",
-                    help="FPS/ball-query kernel tier (pallas = TPU native;"
-                         " falls back to xla off-TPU)")
+    ap.add_argument("--impl", choices=["xla", "pallas"], default="pallas",
+                    help="FPS kernel tier (pallas = TPU native; falls back"
+                         " to xla off-TPU)")
+    ap.add_argument("--bq-impl", choices=["xla", "pallas", "stream"],
+                    default="xla",
+                    help="ball-query tier; the XLA rank-sum path measured"
+                         " fastest at the flagship shapes (perf_round2.md)")
     ap.add_argument("--skip-pose", action="store_true")
     args = ap.parse_args()
 
@@ -81,7 +84,7 @@ def main():
     model = ANCSHModel(
         n_max_parts=K, mixed=True, pred_joint=True, dtype=jnp.bfloat16,
         backbone_spec=BackboneSpec(fps_impl=args.impl,
-                                   ball_query_impl=args.impl))
+                                   ball_query_impl=args.bq_impl))
     rng = jax.random.PRNGKey(0)
     P = jnp.asarray(np.random.RandomState(0).rand(B, N, 3), jnp.float32)
     variables = model.init(rng, P)
