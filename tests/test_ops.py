@@ -72,6 +72,29 @@ class TestGrouping:
         got = np.asarray(core.group_point(jnp.asarray(pts), jnp.asarray(idx)))
         np.testing.assert_allclose(got, ref.group_point(pts, idx), rtol=1e-6)
 
+    def test_group_point_impls_identical(self, rng):
+        """'flat' gather and 'onehot' matmul must produce the oracle
+        result exactly (the matmul picks exactly one term per row, so it
+        is exact even in low precision)."""
+        pts = rng.rand(2, 40, 33).astype(np.float32)
+        idx = rng.randint(0, 40, size=(2, 6, 5)).astype(np.int32)
+        want = ref.group_point(pts, idx)
+        for impl in ("flat", "onehot", "auto"):
+            got = np.asarray(core.group_point(jnp.asarray(pts),
+                                              jnp.asarray(idx), impl=impl))
+            np.testing.assert_array_equal(got, want)
+
+    def test_group_point_onehot_grad_is_scatter_add(self, rng):
+        pts = rng.rand(1, 10, 2).astype(np.float32)
+        idx = np.array([[[0, 0, 3]]], dtype=np.int32)
+
+        def f(p):
+            return jnp.sum(core.group_point(p, jnp.asarray(idx),
+                                            impl="onehot"))
+
+        g = np.asarray(jax.grad(f)(jnp.asarray(pts)))
+        assert g[0, 0, 0] == 2.0 and g[0, 3, 0] == 1.0 and g[0, 1, 0] == 0.0
+
     def test_group_point_grad_is_scatter_add(self, rng):
         pts = rng.rand(1, 10, 2).astype(np.float32)
         idx = np.array([[[0, 0, 3]]], dtype=np.int32)  # duplicate index 0
