@@ -36,9 +36,13 @@ class NetworkConfig:
     pred_joint_ind: bool = True
     early_split_nocs: bool = True
     dropout_rate: float = 0.5          # reference keep_prob=0.5
-    # compute dtype for the backbone ('bfloat16' rides the MXU; params stay f32)
+    # backbone compute dtype; params stay f32 either way.  float32 is the
+    # measured training default (bf16 training collapsed accuracy AND ran
+    # slower — the pipeline is gather-bound, not MXU-bound); bf16 is
+    # accuracy-neutral for INFERENCE and used by bench/serving forwards.
+    # A/B protocol + numbers: docs/dtype_ab.md.
     compute_dtype: str = "float32"
-    use_pallas: bool = True            # Pallas kernels for fps/ball-query when on TPU
+    use_pallas: bool = True            # Pallas FPS kernel when on TPU
 
     # --- losses (reference cfg/network_config.yml:12-22,64) -------------------
     miou_loss_multiplier: float = 1.0

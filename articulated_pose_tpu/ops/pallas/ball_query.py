@@ -9,11 +9,14 @@ hit; per-query hit count capped at nsample.
 Kernel design:
 - the (BM, N) squared-distance tile is ONE jnp.dot on the MXU
   (|q|² + |p|² − 2·q·pᵀ) computed entirely in VMEM,
-- "first nsample in index order" = nsample successive masked arg-mins
-  over an order-encoding key plane — the same selection the CUDA scan
-  makes sequentially per thread, here vectorized across all queries in
-  the block on the VPU,
-- grid tiles (batch × query blocks); points stay resident per batch row.
+- "first nsample in index order" = rank-based selection: each hit's
+  output slot is its exclusive prefix rank among hits (per-chunk
+  strictly-lower triangular matmuls on the MXU + running offsets), and
+  extraction is one compare+masked-sum sweep per slot against the static
+  rank plane.  The first version extracted slots with nsample successive
+  masked arg-mins over a key plane it re-WROTE every step — ~3× the VMEM
+  traffic (see _ballq_kernel),
+- grid tiles the batch; points stay resident per batch row.
 """
 
 from __future__ import annotations
@@ -43,30 +46,51 @@ def _ballq_kernel(radius: float, nsample: int, n_valid: int,
     valid = lane < n_valid
     hit = (d2 < radius * radius) & valid
 
-    BIG = 2 * N
-    key0 = jnp.where(hit, lane, jnp.where(valid, lane + N, BIG))
     cnt = jnp.minimum(jnp.sum(hit, -1), nsample).astype(jnp.int32)
     # cnt output is (1, 8, BM): sublane dim padded to the f32/i32 tile
     # minimum (Mosaic requires block dims (8, 128)-aligned)
     cnt_ref[0, :, :] = jnp.broadcast_to(cnt[None, :], (8, BM))
 
+    # ---- rank-based selection (all 2D ops; Mosaic rejects the 3D
+    # one-shot scatter) -------------------------------------------------
+    # Each hit's output slot is its exclusive prefix rank among hits,
+    # computed with per-chunk strictly-lower triangular matmuls on the
+    # MXU plus running cross-chunk offsets.  Extraction is then ONE
+    # compare+masked-sum pass per slot against the static rank plane —
+    # the original min-loop also swept N per slot but re-WROTE the whole
+    # key plane each step, ~3× the traffic (measured 15.9 → 7.9 ms at
+    # B=64, M=512, N=2048, nsample=64 on v5e).
+    hitf = hit.astype(jnp.float32)
+    CH = 256 if N % 256 == 0 else 128
+    ii = lax.broadcasted_iota(jnp.int32, (CH, CH), 0)
+    jj = lax.broadcasted_iota(jnp.int32, (CH, CH), 1)
+    U = (ii < jj).astype(jnp.float32)
+
+    slots = []
+    off = jnp.zeros((BM, 1), jnp.float32)
+    for k in range(N // CH):
+        h = hitf[:, k * CH:(k + 1) * CH]
+        rank = jnp.dot(h, U, preferred_element_type=jnp.float32)
+        # fold the miss mask in: misses get slot -1 (never extracted)
+        slots.append(jnp.where(hit[:, k * CH:(k + 1) * CH],
+                               rank + off, -1.0))
+        off = off + (rank[:, -1:] + h[:, -1:])
+    slot_sel = jnp.concatenate(slots, axis=1)          # (BM, N) f32 exact ints
+    lanef = lane.astype(jnp.float32)
+
     col = lax.broadcasted_iota(jnp.int32, (BM, nsample), 1)
 
-    def body(s, carry):
-        key, out = carry
-        cur = jnp.min(key, axis=-1)                    # (BM,) smallest index
-        taken = lane == cur[:, None]
-        key = jnp.where(taken, BIG, key)
-        out = jnp.where(col == s, cur[:, None], out)
-        return key, out
+    def body(s, out):
+        val = jnp.sum(jnp.where(slot_sel == s.astype(jnp.float32),
+                                lanef, 0.0), axis=-1)  # (BM,) unique slot
+        return jnp.where(col == s, val[:, None].astype(jnp.int32), out)
 
-    out0 = jnp.zeros((BM, nsample), jnp.int32)
-    _, out = lax.fori_loop(0, nsample, body, (key0, out0))
+    out = lax.fori_loop(0, nsample, body,
+                        jnp.zeros((BM, nsample), jnp.int32))
 
-    is_hit = out < N
-    raw = jnp.where(is_hit, out, jnp.where(out < BIG, out - N, 0))
-    first = raw[:, :1]                                 # first hit (or first miss)
-    idx_ref[0, :, :] = jnp.where(is_hit, raw, first)
+    first = jnp.min(jnp.where(hit, lane, 2 * N), axis=-1)
+    first_or_zero = jnp.where(first < 2 * N, first, 0)[:, None]
+    idx_ref[0, :, :] = jnp.where(col < cnt[:, None], out, first_or_zero)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 4))

@@ -52,6 +52,10 @@ class PoseFitConfig:
     # joint j (1..n_parts-1) type; prismatic switches the LM residual
     joint_types: Tuple[str, ...] = ("revolute", "revolute")
     ransac_chunk: Optional[int] = 512
+    # cap on points fed to the final joint LM refit (None = all).  The
+    # part buffers are valid-first, so a prefix slice keeps an in-order
+    # subset of each part's points; inlier weights are sliced with them.
+    lm_refit_points: Optional[int] = None
 
 
 def partition_by_class(cls: jax.Array, n_parts: int):
@@ -126,6 +130,10 @@ def _joint_ransac(key, src0, tgt0, m0, src1, tgt1, m1, jt_axis, cfg: PoseFitConf
     bi1 = in1s[best]
     w0 = jnp.where(jnp.sum(bi0) >= 3, bi0, m0 > 0).astype(src0.dtype)
     w1 = jnp.where(jnp.sum(bi1) >= 3, bi1, m1 > 0).astype(src1.dtype)
+    cap = cfg.lm_refit_points
+    if cap is not None and cap < src0.shape[0]:
+        src0, tgt0, w0 = src0[:cap], tgt0[:cap], w0[:cap]
+        src1, tgt1, w1 = src1[:cap], tgt1[:cap], w1[:cap]
     fit = joint_transformation_estimate(
         src0, tgt0, w0, src1, tgt1, w1, jt_axis,
         lm_iters=cfg.lm_iters_refit, prismatic=prismatic)
