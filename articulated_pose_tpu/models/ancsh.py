@@ -136,13 +136,11 @@ class ANCSHModel(nn.Module):
 def build_model(config) -> ANCSHModel:
     """Construct the model from a NetworkConfig.
 
-    config.use_pallas selects the Pallas FPS kernel for the backbone
-    (7× faster than the XLA scan: 2.8 vs 20.2 ms at 2048→512, B=64 on
-    v5e); ball query stays on the XLA rank-sum path, which measured
-    faster than the Pallas min-loop kernel at both backbone shapes
-    (11.6 vs 15.9 ms at L1, 2.6 vs 3.0 at L2 — docs/perf_round2.md).
-    On non-TPU backends Pallas resolves back to XLA
-    (models/pointnet2.py::resolve_impl).
+    config.use_pallas selects the Pallas kernel tier for the backbone:
+    FPS (7× over the XLA scan: 2.8 vs 20.2 ms at 2048→512, B=64 v5e)
+    and the rank-select ball query (7.4 vs 11.6 ms XLA rank-sum at L1,
+    tie at L2 — docs/perf_round2.md).  On non-TPU backends Pallas
+    resolves back to XLA (models/pointnet2.py::resolve_impl).
     """
     impl = "pallas" if config.use_pallas else "xla"
     return ANCSHModel(
@@ -151,6 +149,6 @@ def build_model(config) -> ANCSHModel:
         pred_joint=config.pred_joint,
         early_split_nocs=config.early_split_nocs,
         backbone_spec=BackboneSpec(dropout_rate=config.dropout_rate,
-                                   fps_impl=impl, ball_query_impl="xla"),
+                                   fps_impl=impl, ball_query_impl=impl),
         dtype=jnp.dtype(config.compute_dtype),
     )

@@ -58,8 +58,8 @@ def _ballq_kernel(radius: float, nsample: int, n_valid: int,
     # MXU plus running cross-chunk offsets.  Extraction is then ONE
     # compare+masked-sum pass per slot against the static rank plane —
     # the original min-loop also swept N per slot but re-WROTE the whole
-    # key plane each step, ~3× the traffic (measured 15.9 → 7.9 ms at
-    # B=64, M=512, N=2048, nsample=64 on v5e).
+    # key plane each step, ~3× the traffic (measured 15.9 → 7.4 ms at
+    # B=64, M=512, N=2048, nsample=64 on v5e; XLA rank-sum: 11.6).
     hitf = hit.astype(jnp.float32)
     CH = 256 if N % 256 == 0 else 128
     ii = lax.broadcasted_iota(jnp.int32, (CH, CH), 0)

@@ -67,9 +67,9 @@ def main():
                     help="FPS kernel tier (pallas = TPU native; falls back"
                          " to xla off-TPU)")
     ap.add_argument("--bq-impl", choices=["xla", "pallas", "stream"],
-                    default="xla",
-                    help="ball-query tier; the XLA rank-sum path measured"
-                         " fastest at the flagship shapes (perf_round2.md)")
+                    default="pallas",
+                    help="ball-query tier; the Pallas rank-select kernel"
+                         " measured fastest at L1 (perf_round2.md)")
     ap.add_argument("--skip-pose", action="store_true")
     args = ap.parse_args()
 
