@@ -132,7 +132,17 @@ def kabsch_rotation(source: jax.Array, target: jax.Array,
     tc = target - _wmean(target, w)
     if w is not None:
         sc = sc * w[:, None]
-    M = tc.T @ sc                                       # (3, 3)
+    N = source.shape[0]
+    if N <= 8 and method != "svd":
+        # tiny static point sets (RANSAC minimal samples, axis-augmented
+        # sweeps): unroll the cross-covariance — a vmapped (3,N)@(N,3)
+        # pads each matrix to a vreg tile (see _horn_rotation)
+        M = jnp.stack(
+            [jnp.stack([sum(tc[p, i] * sc[p, j] for p in range(N))
+                        for j in range(3)], axis=-1)
+             for i in range(3)], axis=-2)
+    else:
+        M = tc.T @ sc                                   # (3, 3)
     if method == "svd":
         return _svd_rotation(M)
     return _horn_rotation(M)
