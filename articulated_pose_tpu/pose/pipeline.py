@@ -156,50 +156,61 @@ def fit_frame(pred: Dict[str, jax.Array], P: jax.Array, key: jax.Array,
     orders, cnts = partition_by_class(cls, K)
     iota = jnp.arange(N)
 
-    srcs, tgts, masks = [], [], []
-    for j in range(K):
-        order = orders[j]
-        mask = (iota < cnts[j]).astype(P.dtype)
-        srcs.append(pred["nocs_per_point"][:, 3 * j:3 * (j + 1)][order] * mask[:, None])
-        tgts.append(P[order] * mask[:, None])
-        masks.append(mask)
+    # stacked valid-first part buffers: one gather each instead of K
+    mask_all = (iota[None, :] < cnts[:, None]).astype(P.dtype)   # (K, N)
+    nocs_parts = jnp.transpose(
+        pred["nocs_per_point"].reshape(N, K, 3), (1, 0, 2))      # (K, N, 3)
+    src_all = jnp.take_along_axis(nocs_parts, orders[:, :, None], axis=1)
+    src_all = src_all * mask_all[:, :, None]
+    tgt_all = P[orders] * mask_all[:, :, None]                   # (K, N, 3)
+    srcs = [src_all[j] for j in range(K)]
+    tgts = [tgt_all[j] for j in range(K)]
+    masks = [mask_all[j] for j in range(K)]
 
-    # ---- per-part baseline RANSAC --------------------------------------
+    # ---- per-part baseline RANSAC: vmapped over the K parts -------------
+    # (same per-part PRNG keys as the former python loop -> identical fits)
     keys = jax.random.split(key, K + (K - 1))
-    base_R, base_s, base_t = [], [], []
-    for j in range(K):
-        fit = ransac_similarity(keys[j], srcs[j], tgts[j], masks[j],
-                                niter=cfg.niter_part, inlier_th=cfg.inlier_th,
-                                chunk=cfg.ransac_chunk, compact_mask=True)
-        base_R.append(fit.R)
-        base_s.append(fit.s)
-        base_t.append(fit.t)
+    fits = jax.vmap(
+        lambda k, s, t, m: ransac_similarity(
+            k, s, t, m, niter=cfg.niter_part, inlier_th=cfg.inlier_th,
+            chunk=cfg.ransac_chunk, compact_mask=True))(
+        keys[:K], src_all, tgt_all, mask_all)
+    base_R = [fits.R[j] for j in range(K)]
+    base_s = [fits.s[j] for j in range(K)]
+    base_t = [fits.t[j] for j in range(K)]
 
     out = {
-        "baseline_R": jnp.stack(base_R),
-        "baseline_s": jnp.stack(base_s),
-        "baseline_t": jnp.stack(base_t),
+        "baseline_R": fits.R,
+        "baseline_s": fits.s,
+        "baseline_t": fits.t,
     }
 
     # ---- joint-constrained nonlinear fits -------------------------------
     if "joint_axis_per_point" in pred:
-        nl_R = [None] * K
-        nl_s = [None] * K
-        nl_t = [None] * K
         # base part NOCS head is part 0's slice (parallel_ancsh_pose.py:291)
-        for j in range(1, K):
+        def joint_axis_for(j):
             if cfg.use_gt_association and joint_cls_gt is not None:
                 assoc = (joint_cls_gt == j).astype(P.dtype)
             else:
                 assoc = (jnp.argmax(pred["index_per_point"], -1) == j).astype(P.dtype)
             jt_axis = masked_median(pred["joint_axis_per_point"], assoc)
-            jt_axis = jnp.where(jnp.isfinite(jt_axis), jt_axis,
-                                jnp.array([0.0, 0.0, 1.0]))
+            return jnp.where(jnp.isfinite(jt_axis), jt_axis,
+                             jnp.array([0.0, 0.0, 1.0]))
+
+        # NOTE: vmapping the K-1 joint solves was tried and REVERTED — it
+        # broadcast the base part's buffers across the joint axis and
+        # measured 46.6 → 52.7 ms (docs/perf_round2.md); the sequential
+        # loop lets XLA reuse the base-part working set.
+        nl_R = [None] * K
+        nl_s = [None] * K
+        nl_t = [None] * K
+        for j in range(1, K):
             prismatic = cfg.joint_types[j - 1] == "prismatic"
             fit, _ = _joint_ransac(
                 keys[K + j - 1], srcs[0], tgts[0], masks[0],
-                srcs[j], tgts[j], masks[j], jt_axis, cfg, prismatic)
-            if nl_R[0] is None:  # part 0 taken from the first joint solve (:331)
+                srcs[j], tgts[j], masks[j], joint_axis_for(j), cfg,
+                prismatic)
+            if nl_R[0] is None:  # part 0 from the first joint solve (:331)
                 nl_R[0], nl_s[0], nl_t[0] = fit.R0, fit.s0, fit.t0
             nl_R[j], nl_s[j], nl_t[j] = fit.R1, fit.s1, fit.t1
         if nl_R[0] is None:
