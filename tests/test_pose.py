@@ -211,6 +211,27 @@ class TestPipeline:
                 R = np.asarray(out["baseline_R"][i, j])
                 assert tr.rot_diff_degree(R, R_gt) < 3.0
 
+    def test_lm_refit_point_cap_still_accurate(self):
+        """lm_refit_points slices the valid-first buffers; the capped
+        refit must still recover the joint pose on clean data."""
+        n_parts = 2
+        gen = SyntheticArticulated(n_parts=n_parts, points_per_part=200,
+                                   joint_types=("revolute",), seed=11)
+        sample, gt = gen.frame(np.random.RandomState(5), num_points=256)
+        pred = self._perfect_pred(sample, n_parts)
+        cfg = pipeline.PoseFitConfig(
+            n_parts=n_parts, niter_part=128, niter_joint=32,
+            joint_types=("revolute",), lm_iters_hypo=8, lm_iters_refit=15,
+            ransac_chunk=None, lm_refit_points=64)
+        out = pipeline.fit_frame(pred, jnp.asarray(sample["P"]),
+                                 jax.random.PRNGKey(0), cfg)
+        for j in range(n_parts):
+            s_gt, R_gt, t_gt = tr.decompose_similarity(gt.rt_nocs2cam[j])
+            R = np.asarray(out["nonlinear_R"][j])
+            assert tr.rot_diff_degree(R, R_gt) < 2.0
+            np.testing.assert_allclose(float(out["nonlinear_s"][j]), s_gt,
+                                       rtol=0.05)
+
     def test_partition_by_class(self):
         cls = jnp.asarray([1, 0, 1, 2, 0, 0])
         orders, cnts = pipeline.partition_by_class(cls, 3)
