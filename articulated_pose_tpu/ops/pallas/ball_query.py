@@ -80,12 +80,20 @@ def _ballq_kernel(radius: float, nsample: int, n_valid: int,
 
     col = lax.broadcasted_iota(jnp.int32, (BM, nsample), 1)
 
-    def body(s, out):
-        val = jnp.sum(jnp.where(slot_sel == s.astype(jnp.float32),
-                                lanef, 0.0), axis=-1)  # (BM,) unique slot
-        return jnp.where(col == s, val[:, None].astype(jnp.int32), out)
+    # extract GROUP slots per pass so one read of the slot plane
+    # amortizes over GROUP compare+sum sweeps (tile stays in vregs)
+    GROUP = 4 if nsample % 4 == 0 else 1
 
-    out = lax.fori_loop(0, nsample, body,
+    def body(g, out):
+        s0 = g * GROUP
+        for d in range(GROUP):
+            s = s0 + d
+            val = jnp.sum(jnp.where(slot_sel == s.astype(jnp.float32),
+                                    lanef, 0.0), axis=-1)  # (BM,) unique slot
+            out = jnp.where(col == s, val[:, None].astype(jnp.int32), out)
+        return out
+
+    out = lax.fori_loop(0, nsample // GROUP, body,
                         jnp.zeros((BM, nsample), jnp.int32))
 
     first = jnp.min(jnp.where(hit, lane, 2 * N), axis=-1)

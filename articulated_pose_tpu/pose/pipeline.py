@@ -76,13 +76,17 @@ def partition_by_class(cls: jax.Array, n_parts: int):
 
 
 def masked_median(x: jax.Array, mask: jax.Array) -> jax.Array:
-    """Per-column median over masked rows. x (N, C), mask (N,) -> (C,)."""
-    big = jnp.where(mask[:, None] > 0, x, jnp.inf)
-    v = jnp.sort(big, axis=0)
+    """Per-column median over masked rows. x (N, C), mask (N,) -> (C,).
+
+    Sorts along the transposed LAST axis: a (N, 3) axis-0 sort runs with
+    3-lane batches on TPU, while (3, N) sorts N lanes per row.
+    """
+    big = jnp.where(mask[None, :] > 0, x.T, jnp.inf)   # (C, N)
+    v = jnp.sort(big, axis=-1)
     cnt = jnp.maximum(jnp.sum((mask > 0).astype(jnp.int32)), 1)
     lo = (cnt - 1) // 2
     hi = cnt // 2
-    return (v[lo] + v[hi]) / 2.0
+    return (v[:, lo] + v[:, hi]) / 2.0
 
 
 def _joint_ransac(key, src0, tgt0, m0, src1, tgt1, m1, jt_axis, cfg: PoseFitConfig,

@@ -38,6 +38,9 @@ def main():
                     help="uniform SO(3) cameras (harder; default is the "
                          "reference renderer's yaw/pitch band)")
     ap.add_argument("--work", default="/tmp/ancsh_synth_e2e")
+    ap.add_argument("--lm-refit-points", type=int, default=None,
+                    help="cap points fed to the joint LM refit (A/B the "
+                         "PoseFitConfig.lm_refit_points knob)")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="backbone compute dtype (A/B the MXU bf16 path)")
@@ -114,7 +117,8 @@ def main():
     eval_step = make_eval_step(cfg)
     pose_cfg = PoseFitConfig(n_parts=K, niter_part=1024, niter_joint=128,
                              joint_types=joint_types, lm_iters_hypo=8,
-                             lm_iters_refit=15, ransac_chunk=256)
+                             lm_iters_refit=15, ransac_chunk=256,
+                             lm_refit_points=args.lm_refit_points)
     fits, gts = [], []
     nocs_pred_l, nocs_gt_l, cls_l, seg_acc = [], [], [], []
     joint_errs = []
