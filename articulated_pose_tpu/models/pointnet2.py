@@ -148,6 +148,7 @@ class FeaturePropagation(nn.Module):
     """
 
     mlp: Sequence[int]
+    three_nn_impl: str = "xla"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -158,7 +159,12 @@ class FeaturePropagation(nn.Module):
             interp = jnp.broadcast_to(
                 points2, (points2.shape[0], xyz1.shape[1], points2.shape[2]))
         else:
-            dist, idx = ops.three_nn(xyz1, xyz2)
+            if resolve_impl(self.three_nn_impl) == "pallas":
+                from articulated_pose_tpu.ops.pallas import three_nn_pallas
+
+                dist, idx = three_nn_pallas(xyz1, xyz2)
+            else:
+                dist, idx = ops.three_nn(xyz1, xyz2)
             weight = ops.interp_weights(dist)
             interp = ops.three_interpolate(points2, idx, weight)
         if points1 is not None:
@@ -181,6 +187,7 @@ class BackboneSpec:
     dropout_rate: float = 0.5
     fps_impl: str = "xla"        # 'xla' | 'pallas' (ops/pallas/fps.py)
     ball_query_impl: str = "xla"  # 'xla' | 'pallas' | 'stream'
+    three_nn_impl: str = "xla"    # 'xla' | 'pallas' (ops/pallas/three_nn.py)
 
 
 class PointNet2Backbone(nn.Module):
@@ -227,7 +234,8 @@ class PointNet2Backbone(nn.Module):
             if lvl == 0:
                 skip = (l_xyz[0] if skip is None
                         else jnp.concatenate([l_xyz[0], skip], axis=-1))
-            feats = FeaturePropagation(fp_mlp, dtype=self.dtype, name=f"fp{i + 1}")(
+            feats = FeaturePropagation(fp_mlp, three_nn_impl=s.three_nn_impl,
+                                       dtype=self.dtype, name=f"fp{i + 1}")(
                 l_xyz[lvl], l_xyz[lvl + 1], skip, feats,
                 train=train, bn_momentum=bn_momentum)
 

@@ -1,0 +1,108 @@
+"""Pallas TPU kernel: fused 3-nearest-neighbor search.
+
+TPU-native counterpart of the reference CPU op (reference:
+tf_ops/3d_interpolation/tf_interpolate.cpp:60-102 — which forced a
+GPU→CPU→GPU round-trip every FP stage).  The XLA path
+(ops/core.py::three_nn) computes the (B, N, M) distance tile in HBM and
+re-reads it for each of three masked arg-min sweeps; here the tile is
+computed on the MXU and swept entirely in VMEM, tiled over (batch,
+query-blocks).  NOTE: exact-parity tested (interpreter + oracle), but on
+the current tunnel toolchain this kernel's TPU compile is pathologically
+slow (>25 min), so the XLA sweeps remain the production default
+(BackboneSpec.three_nn_impl).
+
+Semantics match ops.core.three_nn exactly: SQUARED distances, ascending,
+ties to the lowest index.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _three_nn_kernel(m_valid: int, xyz1_ref, xyz2_ref, dist_ref, idx_ref):
+    # xyz1_ref (1, N, 3) queries; xyz2_ref (1, M, 3) candidates
+    q = xyz1_ref[0]                                    # (N, 3)
+    p = xyz2_ref[0]                                    # (M, 3)
+    N = q.shape[0]
+    M = p.shape[0]
+
+    inner = jnp.dot(q, p.T, preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST)   # (N, M) on the MXU
+    d2 = jnp.maximum(
+        jnp.sum(q * q, -1, keepdims=True)
+        + jnp.sum(p * p, -1)[None, :] - 2.0 * inner, 0.0)
+    lane = lax.broadcasted_iota(jnp.int32, (N, M), 1)
+    d2 = jnp.where(lane < m_valid, d2, jnp.inf)
+
+    d = d2
+    for k in range(3):
+        v = jnp.min(d, axis=-1)                        # (N,)
+        i = jnp.min(jnp.where(d == v[:, None], lane, M), axis=-1)
+        # per-slot column writes (minor dims stay lane-tile aligned)
+        col = lax.broadcasted_iota(jnp.int32, (N, 8), 1)
+        if k == 0:
+            dist_acc = jnp.where(col == 0, v[:, None], 0.0)
+            idx_acc = jnp.where(col == 0, i[:, None], 0)
+        else:
+            dist_acc = jnp.where(col == k, v[:, None], dist_acc)
+            idx_acc = jnp.where(col == k, i[:, None], idx_acc)
+        d = jnp.where(lane == i[:, None], jnp.inf, d)
+
+    dist_ref[0, :, :] = dist_acc
+    idx_ref[0, :, :] = idx_acc
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def three_nn_pallas(xyz1: jax.Array, xyz2: jax.Array,
+                    interpret: bool = False):
+    """xyz1 (B, N, 3), xyz2 (B, M, 3) -> (dist (B, N, 3) squared asc,
+    idx (B, N, 3) int32).  Exact ops.core.three_nn semantics."""
+    B, N, _ = xyz1.shape
+    M = xyz2.shape[1]
+    n_pad = -(-N // 128) * 128
+    m_pad = -(-M // 128) * 128
+    q = xyz1.astype(jnp.float32)
+    p = xyz2.astype(jnp.float32)
+    if n_pad != N:
+        q = jnp.pad(q, ((0, 0), (0, n_pad - N), (0, 0)))
+    if m_pad != M:
+        # padded candidates masked out by m_valid inside the kernel
+        p = jnp.pad(p, ((0, 0), (0, m_pad - M), (0, 0)))
+
+    # tile the query axis: the (NB, M) distance tile plus its sweep
+    # intermediates (~4x the tile) must stay under the ~16 MB scoped-VMEM
+    # limit, so budget ~2 MB for the tile itself
+    NB = min(n_pad, max(128, (2 * 1024 * 1024 // (m_pad * 4)) // 128 * 128))
+    n_tiles = -(-n_pad // NB)
+    if n_pad % NB:
+        q = jnp.pad(q, ((0, 0), (0, n_tiles * NB - n_pad), (0, 0)))
+
+    dist, idx = pl.pallas_call(
+        functools.partial(_three_nn_kernel, M),
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, NB, 3), lambda b, n: (b, n, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad, 3), lambda b, n: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, NB, 8), lambda b, n: (b, n, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NB, 8), lambda b, n: (b, n, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, n_tiles * NB, 8), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_tiles * NB, 8), jnp.int32),
+        ),
+        interpret=interpret,
+    )(q, p)
+    return dist[:, :N, :3], idx[:, :N, :3]

@@ -70,6 +70,12 @@ def main():
                     default="pallas",
                     help="ball-query tier; the Pallas rank-select kernel"
                          " measured fastest at L1 (perf_round2.md)")
+    ap.add_argument("--three-nn-impl", choices=["xla", "pallas"],
+                    default="xla",
+                    help="three_nn tier; the fused Pallas kernel exists but"
+                         " compiles pathologically slowly on the current"
+                         " tunnel toolchain, so XLA arg-min sweeps remain"
+                         " the default")
     ap.add_argument("--skip-pose", action="store_true")
     args = ap.parse_args()
 
@@ -84,7 +90,8 @@ def main():
     model = ANCSHModel(
         n_max_parts=K, mixed=True, pred_joint=True, dtype=jnp.bfloat16,
         backbone_spec=BackboneSpec(fps_impl=args.impl,
-                                   ball_query_impl=args.bq_impl))
+                                   ball_query_impl=args.bq_impl,
+                                   three_nn_impl=args.three_nn_impl))
     rng = jax.random.PRNGKey(0)
     P = jnp.asarray(np.random.RandomState(0).rand(B, N, 3), jnp.float32)
     variables = model.init(rng, P)
@@ -92,7 +99,10 @@ def main():
     pose_cfg = PoseFitConfig(
         n_parts=K, niter_part=args.niter_part, niter_joint=args.niter_joint,
         joint_types=("revolute", "revolute"),
-        lm_iters_hypo=8, lm_iters_refit=15, ransac_chunk=256)
+        lm_iters_hypo=8, lm_iters_refit=15, ransac_chunk=256,
+        # halved-refit-points A/B was accuracy-identical (docs/dtype_ab.md
+        # protocol, docs/perf_round2.md): rot 4.60 deg / 5deg5cm 0.859 both
+        lm_refit_points=512)
 
     def one_iter(variables, Pi, key):
         pred = model.apply(variables, Pi, train=False)

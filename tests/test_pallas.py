@@ -137,3 +137,24 @@ class TestStreamingBallQuery:
         w_idx, w_cnt = ref.query_ball_point(0.2, 16, xyz, q)
         np.testing.assert_array_equal(np.asarray(idx), w_idx)
         np.testing.assert_array_equal(np.asarray(cnt), w_cnt)
+
+
+class TestPallasThreeNN:
+    def test_matches_xla(self, rng):
+        from articulated_pose_tpu.ops.pallas.three_nn import three_nn_pallas
+        q = jnp.asarray(rng.rand(2, 140, 3), jnp.float32)
+        p = jnp.asarray(rng.rand(2, 70, 3), jnp.float32)
+        d_ref, i_ref = core.three_nn(q, p)
+        d_got, i_got = three_nn_pallas(q, p, interpret=True)
+        np.testing.assert_array_equal(np.asarray(i_got), np.asarray(i_ref))
+        np.testing.assert_allclose(np.asarray(d_got), np.asarray(d_ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_duplicate_points_tie_to_lowest_index(self, rng):
+        from articulated_pose_tpu.ops.pallas.three_nn import three_nn_pallas
+        p_np = rng.rand(1, 40, 3).astype(np.float32)
+        p_np[0, 17] = p_np[0, 3]            # exact duplicate
+        q = jnp.asarray(p_np[:, 3:4])
+        p = jnp.asarray(p_np)
+        _, idx = three_nn_pallas(q, p, interpret=True)
+        assert int(idx[0, 0, 0]) == 3        # lowest index wins the tie
