@@ -149,6 +149,7 @@ def build_model(config) -> ANCSHModel:
         pred_joint=config.pred_joint,
         early_split_nocs=config.early_split_nocs,
         backbone_spec=BackboneSpec(dropout_rate=config.dropout_rate,
-                                   fps_impl=impl, ball_query_impl=impl),
+                                   fps_impl=impl, ball_query_impl=impl,
+                                   three_nn_impl=impl),
         dtype=jnp.dtype(config.compute_dtype),
     )
