@@ -34,6 +34,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(radius: float, nsample: int, n_valid: int, block_n: int,
             xyz_ref, q_ref, idx_ref, cnt_ref, out_state, cnt_state):
+    """Rank-based per-tile selection (see ops/pallas/ball_query.py).
+
+    Each hit's global output slot = hits-before-it-in-earlier-tiles
+    (cnt_state) + within-tile exclusive rank (chunked triangular matmuls
+    on the MXU).  Extraction is one compare+masked-sum pass per slot
+    ACCUMULATED into out_state: every slot is produced by exactly one
+    tile (slot ranges are disjoint across tiles), so the running sum is
+    exact — no key-plane write-backs, no per-slot sequential min loop.
+    """
     nb = pl.program_id(1)
     n_blocks = pl.num_programs(1)
     pp = xyz_ref[0]                                     # (8, NB) planes
@@ -45,8 +54,8 @@ def _kernel(radius: float, nsample: int, n_valid: int, block_n: int,
     # sequential N-tiles; reading back output refs mid-grid miscompiles)
     @pl.when(nb == 0)
     def _init():
-        out_state[:, :] = jnp.zeros((M, nsample), jnp.int32)
-        cnt_state[:, :] = jnp.zeros((8, M), jnp.int32)
+        out_state[:, :] = jnp.zeros((M, nsample), jnp.float32)
+        cnt_state[:, :] = jnp.zeros((8, M), jnp.float32)
 
     # (M, 8) @ (8, NB) on the MXU; zero rows contribute nothing
     inner = jnp.dot(qp.T, pp, preferred_element_type=jnp.float32,
@@ -57,33 +66,61 @@ def _kernel(radius: float, nsample: int, n_valid: int, block_n: int,
     lane = lax.broadcasted_iota(jnp.int32, (M, NB), 1)
     g_idx = nb * block_n + lane
     hit = (d2 < radius * radius) & (g_idx < n_valid)
+    hitf = hit.astype(jnp.float32)
 
-    BIG = jnp.int32(2**30)
-    key0 = jnp.where(hit, lane, BIG)
+    CH = 256 if NB % 256 == 0 else 128
+    ii = lax.broadcasted_iota(jnp.int32, (CH, CH), 0)
+    jj = lax.broadcasted_iota(jnp.int32, (CH, CH), 1)
+    U = (ii < jj).astype(jnp.float32)
+
+    # cnt_state rows: [0] hits so far (uncapped), [1] first hit lane
+    # (or BIGF), rest padding
+    prev_cnt = cnt_state[0, :]                          # (M,) f32
+    BIGF = jnp.float32(2**30)
+    prev_first = jnp.where(nb == 0, BIGF, cnt_state[1, :])
+
+    off = prev_cnt[:, None]
+    slots = []
+    for k in range(NB // CH):
+        h = hitf[:, k * CH:(k + 1) * CH]
+        rank = jnp.dot(h, U, preferred_element_type=jnp.float32)
+        slots.append(jnp.where(hit[:, k * CH:(k + 1) * CH],
+                               rank + off, -1.0))
+        off = off + (rank[:, -1:] + h[:, -1:])
+    slot_sel = jnp.concatenate(slots, axis=1)           # (M, NB)
+    g_lanef = g_idx.astype(jnp.float32)
+
     col = lax.broadcasted_iota(jnp.int32, (M, nsample), 1)
+    out = out_state[:, :]
+    GROUP = 4 if nsample % 4 == 0 else 1
 
-    cnt = cnt_state[0, :]                               # (M,)
-    out = out_state[:, :]                                # (M, nsample)
+    def body(g, out):
+        s0 = g * GROUP
+        for d in range(GROUP):
+            s = s0 + d
+            val = jnp.sum(jnp.where(slot_sel == s.astype(jnp.float32),
+                                    g_lanef, 0.0), axis=-1)
+            out = out + jnp.where(col == s, val[:, None], 0.0)
+        return out
 
-    def body(s, carry):
-        key, out, cnt = carry
-        cur = jnp.min(key, axis=-1)                     # (M,)
-        found = (cur < BIG) & (cnt < nsample)
-        taken = (lane == cur[:, None]) & found[:, None]
-        key = jnp.where(taken, BIG, key)
-        write = (col == cnt[:, None]) & found[:, None]
-        out = jnp.where(write, nb * block_n + cur[:, None], out)
-        cnt = cnt + found.astype(jnp.int32)
-        return key, out, cnt
-
-    _, out, cnt = lax.fori_loop(0, nsample, body, (key0, out, cnt))
+    out = lax.fori_loop(0, nsample // GROUP, body, out)
     out_state[:, :] = out
-    cnt_state[:, :] = jnp.broadcast_to(cnt[None, :], (8, M))
+
+    tile_first = jnp.min(jnp.where(hit, g_lanef, BIGF), axis=-1)
+    first = jnp.minimum(prev_first, tile_first)
+    cnt_new = off[:, 0]
+    cnt_plane = jnp.where(
+        lax.broadcasted_iota(jnp.int32, (8, M), 0) == 1,
+        first[None, :], jnp.broadcast_to(cnt_new[None, :], (8, M)))
+    cnt_state[:, :] = cnt_plane
 
     @pl.when(nb == n_blocks - 1)
     def _finalize():
+        cnt = jnp.minimum(cnt_new, float(nsample)).astype(jnp.int32)
+        first_or_zero = jnp.where(first < BIGF, first, 0.0)[:, None]
         # pad unfilled slots with the first hit (tf_grouping_g.cu:26-28)
-        idx_ref[0, :, :] = jnp.where(col < cnt[:, None], out, out[:, :1])
+        idx_ref[0, :, :] = jnp.where(col < cnt[:, None], out,
+                                     first_or_zero).astype(jnp.int32)
         cnt_ref[0, :, :] = jnp.broadcast_to(cnt[None, :], (8, M))
 
 
@@ -140,8 +177,8 @@ def query_ball_point_stream(radius: float, nsample: int, xyz: jax.Array,
             jax.ShapeDtypeStruct((B, 8, m_pad), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((m_pad, nsample), jnp.int32),
-            pltpu.VMEM((8, m_pad), jnp.int32),
+            pltpu.VMEM((m_pad, nsample), jnp.float32),
+            pltpu.VMEM((8, m_pad), jnp.float32),
         ],
         interpret=interpret,
     )(x, q)

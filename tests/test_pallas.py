@@ -158,3 +158,25 @@ class TestPallasThreeNN:
         p = jnp.asarray(p_np)
         _, idx = three_nn_pallas(q, p, interpret=True)
         assert int(idx[0, 0, 0]) == 3        # lowest index wins the tie
+
+
+class TestStreamingThreeNN:
+    def test_multitile_matches_xla(self, rng):
+        from articulated_pose_tpu.ops.pallas.three_nn_stream import three_nn_stream
+        q = jnp.asarray(rng.rand(2, 100, 3), jnp.float32)
+        p = jnp.asarray(rng.rand(2, 300, 3), jnp.float32)
+        d_ref, i_ref = core.three_nn(q, p)
+        # block_m=128 -> 3 candidate tiles; best-3 must merge across them
+        d_got, i_got = three_nn_stream(q, p, block_m=128, interpret=True)
+        np.testing.assert_array_equal(np.asarray(i_got), np.asarray(i_ref))
+        np.testing.assert_allclose(np.asarray(d_got), np.asarray(d_ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_cross_tile_tie_lowest_index(self, rng):
+        from articulated_pose_tpu.ops.pallas.three_nn_stream import three_nn_stream
+        p_np = rng.rand(1, 300, 3).astype(np.float32)
+        p_np[0, 260] = p_np[0, 10]           # duplicate in a LATER tile
+        q = jnp.asarray(p_np[:, 10:11])
+        p = jnp.asarray(p_np)
+        _, idx = three_nn_stream(q, p, block_m=128, interpret=True)
+        assert int(idx[0, 0, 0]) == 10       # earlier tile wins the tie
