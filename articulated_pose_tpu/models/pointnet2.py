@@ -57,6 +57,7 @@ def sample_and_group(npoint: int, radius: float, nsample: int,
     else:
         fps_idx = ops.farthest_point_sample(npoint, xyz)
     new_xyz = ops.gather_point(xyz, fps_idx)                    # (B, M, 3)
+    grouped_xyz = None
     if knn:
         _, idx = ops.knn_point(nsample, xyz, new_xyz)
     else:
@@ -64,6 +65,11 @@ def sample_and_group(npoint: int, radius: float, nsample: int,
         if bq == "pallas":
             from articulated_pose_tpu.ops.pallas import query_ball_point_pallas
 
+            # NOTE: a fused variant (query_ball_point_grouped_pallas) that
+            # also emits the centered neighborhoods measured a wash in a
+            # same-window A/B (13.5 vs 13.9 ms incl. the downstream
+            # gather) — the 4-sums-per-slot extraction eats the gather
+            # savings — so the plain kernel stays (docs/perf_round2.md)
             idx, _ = query_ball_point_pallas(radius, nsample, xyz, new_xyz)
         elif bq == "stream":
             from articulated_pose_tpu.ops.pallas import query_ball_point_stream
@@ -71,8 +77,9 @@ def sample_and_group(npoint: int, radius: float, nsample: int,
             idx, _ = query_ball_point_stream(radius, nsample, xyz, new_xyz)
         else:
             idx, _ = ops.query_ball_point(radius, nsample, xyz, new_xyz)
-    grouped_xyz = ops.group_point(xyz, idx)                     # (B, M, S, 3)
-    grouped_xyz = grouped_xyz - new_xyz[:, :, None, :]          # translation normalize
+    if grouped_xyz is None:
+        grouped_xyz = ops.group_point(xyz, idx)                 # (B, M, S, 3)
+        grouped_xyz = grouped_xyz - new_xyz[:, :, None, :]      # translation normalize
     if points is not None:
         grouped_points = ops.group_point(points, idx)
         new_points = (jnp.concatenate([grouped_xyz, grouped_points], axis=-1)

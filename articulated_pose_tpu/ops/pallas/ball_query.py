@@ -101,6 +101,152 @@ def _ballq_kernel(radius: float, nsample: int, n_valid: int,
     idx_ref[0, :, :] = jnp.where(col < cnt[:, None], out, first_or_zero)
 
 
+def _ballq_grouped_kernel(radius: float, nsample: int, n_valid: int,
+                          xyz_ref, q_ref, idx_ref, cnt_ref,
+                          gx_ref, gy_ref, gz_ref):
+    """_ballq_kernel + fused grouped-xyz emission.
+
+    The per-slot compare plane (slot_sel == s) is shared by four masked
+    sums — index, x, y, z — so emitting the CENTERED neighborhood
+    coordinates costs ~1.5× the plain extraction instead of a separate
+    (B·M·S)-row gather downstream (the L1 flat-take gather measured
+    ~7 ms at B=64; this kernel absorbs it).
+    """
+    pts = xyz_ref[0]                                   # (N, 3)
+    q = q_ref[0]                                       # (BM, 3)
+    N = pts.shape[0]
+    BM = q.shape[0]
+
+    inner = jnp.dot(q, pts.T, preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST)   # (BM, N)
+    d2 = (jnp.sum(q * q, -1, keepdims=True)
+          + jnp.sum(pts * pts, -1)[None, :] - 2.0 * inner)
+    lane = lax.broadcasted_iota(jnp.int32, (BM, N), 1)
+    valid = lane < n_valid
+    hit = (d2 < radius * radius) & valid
+
+    cnt = jnp.minimum(jnp.sum(hit, -1), nsample).astype(jnp.int32)
+    cnt_ref[0, :, :] = jnp.broadcast_to(cnt[None, :], (8, BM))
+
+    hitf = hit.astype(jnp.float32)
+    CH = 256 if N % 256 == 0 else 128
+    ii = lax.broadcasted_iota(jnp.int32, (CH, CH), 0)
+    jj = lax.broadcasted_iota(jnp.int32, (CH, CH), 1)
+    U = (ii < jj).astype(jnp.float32)
+
+    slots = []
+    off = jnp.zeros((BM, 1), jnp.float32)
+    for k in range(N // CH):
+        h = hitf[:, k * CH:(k + 1) * CH]
+        rank = jnp.dot(h, U, preferred_element_type=jnp.float32)
+        slots.append(jnp.where(hit[:, k * CH:(k + 1) * CH],
+                               rank + off, -1.0))
+        off = off + (rank[:, -1:] + h[:, -1:])
+    slot_sel = jnp.concatenate(slots, axis=1)          # (BM, N)
+    lanef = lane.astype(jnp.float32)
+    px = jnp.broadcast_to(pts[:, 0][None, :], (BM, N))
+    py = jnp.broadcast_to(pts[:, 1][None, :], (BM, N))
+    pz = jnp.broadcast_to(pts[:, 2][None, :], (BM, N))
+
+    col = lax.broadcasted_iota(jnp.int32, (BM, nsample), 1)
+    GROUP = 4 if nsample % 4 == 0 else 1
+
+    def body(g, carry):
+        out, gx, gy, gz = carry
+        s0 = g * GROUP
+        for d in range(GROUP):
+            s = s0 + d
+            eq = slot_sel == s.astype(jnp.float32)     # shared compare
+            sel = jnp.where(col == s, 1.0, 0.0)
+            out = jnp.where(col == s,
+                            jnp.sum(jnp.where(eq, lanef, 0.0),
+                                    axis=-1)[:, None].astype(jnp.int32), out)
+            gx = gx + sel * jnp.sum(jnp.where(eq, px, 0.0), axis=-1)[:, None]
+            gy = gy + sel * jnp.sum(jnp.where(eq, py, 0.0), axis=-1)[:, None]
+            gz = gz + sel * jnp.sum(jnp.where(eq, pz, 0.0), axis=-1)[:, None]
+        return out, gx, gy, gz
+
+    zero_f = jnp.zeros((BM, nsample), jnp.float32)
+    out, gx, gy, gz = lax.fori_loop(
+        0, nsample // GROUP, body,
+        (jnp.zeros((BM, nsample), jnp.int32), zero_f, zero_f, zero_f))
+
+    first = jnp.min(jnp.where(hit, lane, 2 * N), axis=-1)
+    fsel = lane == first[:, None]
+    # first-hit coords; zero hits -> point 0's coords (gather semantics)
+    fx = jnp.where(first < 2 * N,
+                   jnp.sum(jnp.where(fsel, px, 0.0), axis=-1), pts[0, 0])
+    fy = jnp.where(first < 2 * N,
+                   jnp.sum(jnp.where(fsel, py, 0.0), axis=-1), pts[0, 1])
+    fz = jnp.where(first < 2 * N,
+                   jnp.sum(jnp.where(fsel, pz, 0.0), axis=-1), pts[0, 2])
+
+    first_or_zero = jnp.where(first < 2 * N, first, 0)[:, None]
+    filled = col < cnt[:, None]
+    idx_ref[0, :, :] = jnp.where(filled, out, first_or_zero)
+    # centered on the query (sample_and_group's translation normalize)
+    gx_ref[0, :, :] = jnp.where(filled, gx, fx[:, None]) - q[:, 0][:, None]
+    gy_ref[0, :, :] = jnp.where(filled, gy, fy[:, None]) - q[:, 1][:, None]
+    gz_ref[0, :, :] = jnp.where(filled, gz, fz[:, None]) - q[:, 2][:, None]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+def query_ball_point_grouped_pallas(radius: float, nsample: int,
+                                    xyz: jax.Array, new_xyz: jax.Array,
+                                    interpret: bool = False):
+    """Ball query that ALSO emits the centered grouped coordinates.
+
+    xyz (B, N, 3), new_xyz (B, M, 3) -> (idx (B, M, nsample) int32,
+    cnt (B, M) int32, grouped_xyz (B, M, nsample, 3) f32 with the query
+    point subtracted).  idx/cnt match ops.core.query_ball_point exactly;
+    grouped_xyz equals group_point(xyz, idx) - new_xyz[:, :, None].
+    """
+    B, N, _ = xyz.shape
+    M = new_xyz.shape[1]
+    n_pad = -(-N // 128) * 128
+    m_pad = -(-M // 128) * 128
+    x = xyz.astype(jnp.float32)
+    q = new_xyz.astype(jnp.float32)
+    if n_pad != N:
+        x = jnp.pad(x, ((0, 0), (0, n_pad - N), (0, 0)),
+                    constant_values=1e9)
+    if m_pad != M:
+        q = jnp.pad(q, ((0, 0), (0, m_pad - M), (0, 0)))
+
+    idx, cnt, gx, gy, gz = pl.pallas_call(
+        functools.partial(_ballq_grouped_kernel, radius, nsample, N),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, n_pad, 3), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad, 3), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, m_pad, nsample), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, m_pad), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad, nsample), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad, nsample), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad, nsample), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, m_pad, nsample), jnp.int32),
+            jax.ShapeDtypeStruct((B, 8, m_pad), jnp.int32),
+            jax.ShapeDtypeStruct((B, m_pad, nsample), jnp.float32),
+            jax.ShapeDtypeStruct((B, m_pad, nsample), jnp.float32),
+            jax.ShapeDtypeStruct((B, m_pad, nsample), jnp.float32),
+        ),
+        interpret=interpret,
+    )(x, q)
+    grouped = jnp.stack([gx, gy, gz], axis=-1)[:, :M]
+    return idx[:, :M], cnt[:, 0, :M], grouped
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 4))
 def query_ball_point_pallas(radius: float, nsample: int, xyz: jax.Array,
                             new_xyz: jax.Array, interpret: bool = False):

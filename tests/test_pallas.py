@@ -180,3 +180,32 @@ class TestStreamingThreeNN:
         p = jnp.asarray(p_np)
         _, idx = three_nn_stream(q, p, block_m=128, interpret=True)
         assert int(idx[0, 0, 0]) == 10       # earlier tile wins the tie
+
+
+class TestGroupedBallQuery:
+    def test_matches_separate_gather(self, rng):
+        from articulated_pose_tpu.ops.pallas.ball_query import (
+            query_ball_point_grouped_pallas)
+        xyz = jnp.asarray(rng.rand(2, 300, 3), jnp.float32)
+        q = jnp.asarray(rng.rand(2, 140, 3), jnp.float32)
+        idx_g, cnt_g, grouped = query_ball_point_grouped_pallas(
+            0.25, 16, xyz, q, interpret=True)
+        idx_r, cnt_r = core.query_ball_point(0.25, 16, xyz, q)
+        np.testing.assert_array_equal(np.asarray(idx_g), np.asarray(idx_r))
+        np.testing.assert_array_equal(np.asarray(cnt_g), np.asarray(cnt_r))
+        want = (np.asarray(core.group_point(xyz, idx_r))
+                - np.asarray(q)[:, :, None, :])
+        np.testing.assert_allclose(np.asarray(grouped), want,
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_zero_hit_queries_use_point_zero(self):
+        from articulated_pose_tpu.ops.pallas.ball_query import (
+            query_ball_point_grouped_pallas)
+        xyz = jnp.asarray(np.random.RandomState(0).rand(1, 64, 3), jnp.float32)
+        q = jnp.asarray([[[50.0, 50.0, 50.0]]], jnp.float32)  # far away
+        idx, cnt, grouped = query_ball_point_grouped_pallas(
+            0.1, 8, xyz, q, interpret=True)
+        assert int(cnt[0, 0]) == 0 and int(idx[0, 0, 0]) == 0
+        want = np.asarray(xyz)[0, 0] - np.asarray(q)[0, 0]
+        np.testing.assert_allclose(np.asarray(grouped)[0, 0, 0], want,
+                                   rtol=1e-6)
