@@ -57,7 +57,8 @@ def main():
     pose_cfg = PoseFitConfig(
         n_parts=K, niter_part=1024, niter_joint=128,
         joint_types=("revolute", "revolute"),
-        lm_iters_hypo=8, lm_iters_refit=15, ransac_chunk=256)
+        lm_iters_hypo=8, lm_iters_refit=15, ransac_chunk=256,
+        lm_refit_points=512)  # mirror bench.py
 
     def timed(name, fn, *xs):
         """One-dispatch scan window over iters; returns ms/iter.
