@@ -170,6 +170,13 @@ class HDF5Dataset:
             self._rng.shuffle(files)
         if first_n != -1:
             files = files[:first_n]
+        if not files:
+            raise ValueError(
+                f"empty {mode!r} split for category {category!r} "
+                f"(domain={domain!r}, split file {split_file}); with a "
+                f"domain filter, check that the registry's test_list "
+                f"instances {sorted(set(self.spec.test_list))[:6]}... "
+                f"appear in the split")
         self.files = files
         self.basenames = ["_".join(p.split(".")[0].split("/")[-3:]) for p in files]
         self._info_cache: Dict[str, InstanceInfo] = {}

@@ -146,3 +146,17 @@ class TestParallelHDF5:
         batches = list(ds.iterator(parallel=True, num_workers=3))
         assert len(batches) == 2
         assert batches[0]["P"].shape == (3, 128, 3)
+
+
+def test_empty_filtered_split_raises_clearly(tmp_path):
+    """A domain filter that matches no instances must raise a ValueError
+    naming the split, not IndexError deep in the batcher (found driving
+    the CLI on a fixture whose ids don't overlap the registry's
+    unseen list)."""
+    root = str(tmp_path)
+    gen = SyntheticArticulated(n_parts=3, points_per_part=100, seed=2)
+    gen.export_hdf5(root, "eyeglasses", n_instances=1,
+                    frames_per_instance=2, test_fraction=0.5)
+    with pytest.raises(ValueError, match="empty 'test' split"):
+        HDF5Dataset(root, "eyeglasses", mode="test", domain="unseen",
+                    num_points=64, batch_size=1)
