@@ -97,7 +97,7 @@ def main():
     pose_cfg = PoseFitConfig(
         n_parts=K, niter_part=args.niter_part, niter_joint=args.niter_joint,
         joint_types=("revolute", "revolute"),
-        lm_iters_hypo=8, lm_iters_refit=15, ransac_chunk=256,
+        lm_iters_hypo=8, lm_iters_refit=15, ransac_chunk=None,
         # halved-refit-points A/B was accuracy-identical (docs/dtype_ab.md
         # protocol, docs/perf_round2.md): rot 4.60 deg / 5deg5cm 0.859 both
         lm_refit_points=512)

@@ -57,7 +57,7 @@ def main():
     pose_cfg = PoseFitConfig(
         n_parts=K, niter_part=1024, niter_joint=128,
         joint_types=("revolute", "revolute"),
-        lm_iters_hypo=8, lm_iters_refit=15, ransac_chunk=256,
+        lm_iters_hypo=8, lm_iters_refit=15, ransac_chunk=None,
         lm_refit_points=512)  # mirror bench.py
 
     def timed(name, fn, *xs):

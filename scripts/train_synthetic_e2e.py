@@ -117,7 +117,7 @@ def main():
     eval_step = make_eval_step(cfg)
     pose_cfg = PoseFitConfig(n_parts=K, niter_part=1024, niter_joint=128,
                              joint_types=joint_types, lm_iters_hypo=8,
-                             lm_iters_refit=15, ransac_chunk=256,
+                             lm_iters_refit=15, ransac_chunk=None,
                              lm_refit_points=args.lm_refit_points)
     fits, gts = [], []
     nocs_pred_l, nocs_gt_l, cls_l, seg_acc = [], [], [], []
