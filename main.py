@@ -93,8 +93,15 @@ def cmd_train(args):
     train_it = make_datasets(args, cfg, spec, "train")
     val_its = []
     if not args.synthetic:
-        val_its = [make_datasets(args, cfg, spec, "test", domain="seen"),
-                   make_datasets(args, cfg, spec, "test", domain="unseen")]
+        # a val split with no matching instances (e.g. a dataset whose ids
+        # don't overlap the registry's unseen list) skips that val set
+        # with a warning; test/eval modes still error loudly on it
+        for dom in ("seen", "unseen"):
+            try:
+                val_its.append(
+                    make_datasets(args, cfg, spec, "test", domain=dom))
+            except ValueError as e:
+                print(f"WARNING: skipping {dom} validation set: {e}")
     work = args.work_dir or os.path.join(cfg.experiment_dir, cfg.category,
                                          cfg.nocs_type)
     tr = Trainer(model, cfg, work_dir=work)
