@@ -41,6 +41,10 @@ def _load() -> Optional[ctypes.CDLL]:
                 if not os.path.exists(_SO):
                     _build_failed = True
                     return None
+                import warnings
+                warnings.warn(
+                    f"native rebuild failed; loading stale {_SO} built "
+                    "before the latest source edits", RuntimeWarning)
         try:
             lib = ctypes.CDLL(_SO)
         except OSError:

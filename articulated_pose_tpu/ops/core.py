@@ -106,6 +106,11 @@ def query_ball_point(radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.A
     g = jnp.cumsum(hit.astype(jnp.int32), axis=-1)             # inclusive rank
     slot = jnp.where(hit, g - 1, nsample)
     slot = jnp.minimum(slot, nsample)                          # cap: never a col
+    # NOTE: the (B, M, N, S) one-hot below is a *logical* intermediate —
+    # XLA fuses it into the axis-2 reduction on every backend we test
+    # (TPU/CPU), so it is never materialized.  At the flagship shape it
+    # would be ~4.3G elements if a backend failed to fuse; chunk the
+    # nsample axis here if that ever shows up in a memory profile.
     one_hot = slot[..., None] == jnp.arange(nsample)           # (B, M, N, S)
     idx = jnp.sum(jnp.where(one_hot, n_iota[..., None], 0), axis=2)
     # the reference scan breaks at nsample hits, so cnt is capped (tf_grouping_g.cu:16)

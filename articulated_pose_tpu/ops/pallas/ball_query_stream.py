@@ -142,7 +142,7 @@ def _to_planes(a: jax.Array, pad_to: int, pad_value: float = 0.0) -> jax.Array:
 def query_ball_point_stream(radius: float, nsample: int, xyz: jax.Array,
                             new_xyz: jax.Array, block_n: int = 2048,
                             interpret: bool = False):
-    """Streaming ball query for arbitrary N.
+    """Streaming ball query for large N (< 2^24; f32-carried indices).
 
     xyz (B, N, 3), new_xyz (B, M, 3) -> (idx (B, M, nsample) int32,
     cnt (B, M) int32).  VMEM working set is O(M · block_n), independent
@@ -150,6 +150,14 @@ def query_ball_point_stream(radius: float, nsample: int, xyz: jax.Array,
     """
     B, N, _ = xyz.shape
     M = new_xyz.shape[1]
+    if N >= 2**24:
+        # point indices and running counts are carried as f32 inside the
+        # kernel (exact integers only below 2^24) — fail loudly instead
+        # of returning silently corrupted indices
+        raise ValueError(
+            f"query_ball_point_stream: N={N} exceeds the f32 exact-integer "
+            "index range (2^24); split the cloud or extend the kernel to "
+            "carry i32 indices")
     block_n = min(block_n, -(-N // 128) * 128)
     n_pad = -(-N // block_n) * block_n
     m_pad = -(-M // 128) * 128
