@@ -58,19 +58,22 @@ def sample_and_group(npoint: int, radius: float, nsample: int,
         fps_idx = ops.farthest_point_sample(npoint, xyz)
     new_xyz = ops.gather_point(xyz, fps_idx)                    # (B, M, 3)
     grouped_xyz = None
+    idx = None
     if knn:
         _, idx = ops.knn_point(nsample, xyz, new_xyz)
     else:
         bq = resolve_impl(ball_query_impl)
         if bq == "pallas":
-            from articulated_pose_tpu.ops.pallas import query_ball_point_pallas
+            from articulated_pose_tpu.ops.pallas import query_ball_group_pallas
 
-            # NOTE: a fused variant (query_ball_point_grouped_pallas) that
-            # also emits the centered neighborhoods measured a wash in a
-            # same-window A/B (13.5 vs 13.9 ms incl. the downstream
-            # gather) — the 4-sums-per-slot extraction eats the gather
-            # savings — so the plain kernel stays (docs/perf_round2.md)
-            idx, _ = query_ball_point_pallas(radius, nsample, xyz, new_xyz)
+            # butterfly-compaction kernel: ball query AND the centered
+            # neighborhood coordinates in one pass (bitwise-exact vs the
+            # unfused pair; 13.5 -> 6.9 ms at SA1, 4.7 -> 2.4 ms at SA2
+            # incl. the flat-take gather it replaces).  The index plane
+            # is only carried when a feature gather still needs it.
+            grouped_xyz, _, idx = query_ball_group_pallas(
+                radius, nsample, xyz, new_xyz,
+                emit_idx=points is not None)
         elif bq == "stream":
             from articulated_pose_tpu.ops.pallas import query_ball_point_stream
 

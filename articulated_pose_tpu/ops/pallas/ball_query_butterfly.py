@@ -1,0 +1,198 @@
+"""Pallas TPU kernel: fused ball query + grouped-xyz via butterfly compaction.
+
+TPU-native counterpart of the reference's ball query followed by the
+grouped-coordinate gather (reference: tf_ops/grouping/tf_grouping_g.cu:3-58,
+QueryBallPoint + GroupPoint), preserving the exact CUDA semantics: for
+each query, the FIRST `nsample` points (in index order) within `radius`;
+unfilled slots hold the first hit; zero hits -> point 0.
+
+Design — the selection is a *monotone stream compaction*, routed on a
+butterfly network instead of the per-slot compare+sum sweeps of
+ops/pallas/ball_query.py:
+
+- the (BM, N) squared-distance tile is one MXU matmul,
+- each hit's output slot is its exclusive prefix rank among hits
+  (per-chunk strictly-lower-triangular matmuls, bf16 inputs / f32
+  accumulation — exact for 0/1 values with chunk sums <= 256),
+- each hit must therefore move LEFT by dist = lane - rank, which is
+  non-decreasing along the lane axis.  Monotone shifts route
+  collision-free through log2(N) stages of static power-of-2 lane
+  rolls + selects, processing distance bits LSB -> MSB (verified
+  collision-free by brute force; see tests).  All carried value planes
+  (x, y, z, lane index) shift together, so the neighborhood coordinate
+  gather costs 2 extra VPU ops per plane per stage instead of a
+  separate (B*M*S)-row HBM gather downstream.
+
+Per-element work is ~13 ops x log2(N) stages versus ~3 ops x nsample
+sweeps for the sweep kernel — at the SA1 shape (N=2048, S=64) that is
+~5x less selection work, and the downstream group_point disappears.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _roll_left(x: jax.Array, shift: int, interpret: bool) -> jax.Array:
+    if interpret:
+        return jnp.roll(x, -shift, axis=-1)
+    # pltpu.roll only takes non-negative shifts (and a non-negative axis);
+    # left-by-sh == right-by-(N-sh) on the circular lane axis
+    return pltpu.roll(x, x.shape[-1] - shift, axis=x.ndim - 1)
+
+
+def _ballq_butterfly_kernel(radius: float, nsample: int, n_valid: int,
+                            emit_idx: bool, interpret: bool,
+                            xyz_ref, q_ref, *out_refs):
+    # xyz_ref (1, N, 3) points; q_ref (1, BM, 3) queries
+    pts = xyz_ref[0]                                   # (N, 3)
+    q = q_ref[0]                                       # (BM, 3)
+    N = pts.shape[0]
+    BM = q.shape[0]
+
+    inner = jnp.dot(q, pts.T, preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST)   # (BM, N) on the MXU
+    d2 = (jnp.sum(q * q, -1, keepdims=True)
+          + jnp.sum(pts * pts, -1)[None, :] - 2.0 * inner)
+    lane = lax.broadcasted_iota(jnp.int32, (BM, N), 1)
+    hit = (d2 < radius * radius) & (lane < n_valid)
+    cnt = jnp.minimum(jnp.sum(hit, -1), nsample).astype(jnp.int32)
+
+    # ---- exclusive prefix rank among hits (chunked triangular matmul;
+    # bf16 0/1 inputs with f32 accumulation are exact for sums <= 256)
+    hitf = hit.astype(jnp.bfloat16)
+    CH = 256 if N % 256 == 0 else 128
+    ii = lax.broadcasted_iota(jnp.int32, (CH, CH), 0)
+    jj = lax.broadcasted_iota(jnp.int32, (CH, CH), 1)
+    U = (ii < jj).astype(jnp.bfloat16)
+
+    ranks = []
+    off = jnp.zeros((BM, 1), jnp.float32)
+    for k in range(N // CH):
+        h = hitf[:, k * CH:(k + 1) * CH]
+        r = jnp.dot(h, U, preferred_element_type=jnp.float32)
+        ranks.append(r + off)
+        off = off + (r[:, -1:] + h[:, -1:].astype(jnp.float32))
+    rank = jnp.concatenate(ranks, axis=1).astype(jnp.int32)   # (BM, N)
+
+    # remaining leftward distance; -1 marks dead lanes
+    rem = jnp.where(hit, lane - rank, -1)
+
+    # value planes that ride the butterfly together
+    planes = [jnp.broadcast_to(pts[:, c][None, :], (BM, N)) for c in range(3)]
+    if emit_idx:
+        planes.append(lane.astype(jnp.float32))
+
+    n_bits = max(1, (N - 1).bit_length())
+    for b in range(n_bits):
+        sh = 1 << b
+        if sh >= N:
+            break
+        srem = _roll_left(rem, sh, interpret)
+        # wrapped lanes (source beyond N) must not inject
+        take = (lane + sh < N) & (srem >= 0) & ((srem & sh) != 0)
+        stay = (rem >= 0) & ((rem & sh) == 0)
+        rem = jnp.where(take, srem - sh, jnp.where(stay, rem, -1))
+        planes = [jnp.where(take, _roll_left(v, sh, interpret), v)
+                  for v in planes]
+
+    col = lax.broadcasted_iota(jnp.int32, (BM, nsample), 1)
+    filled = col < cnt[:, None]
+    any_hit = cnt[:, None] > 0
+
+    out_i = 0
+    qx = [q[:, c][:, None] for c in range(3)]
+    for c in range(3):
+        v = planes[c][:, :nsample]
+        # unfilled slots -> first hit (slot 0); zero hits -> point 0
+        fill = jnp.where(any_hit, v[:, 0:1], pts[0, c])
+        out_refs[out_i][0, :, :] = jnp.where(filled, v, fill) - qx[c]
+        out_i += 1
+    # cnt output (1, 8, BM): sublane dim padded to the i32 tile minimum
+    out_refs[out_i][0, :, :] = jnp.broadcast_to(cnt[None, :], (8, BM))
+    out_i += 1
+    if emit_idx:
+        vl = planes[3][:, :nsample]
+        fill = jnp.where(any_hit, vl[:, 0:1], 0.0)
+        out_refs[out_i][0, :, :] = jnp.where(filled, vl,
+                                             fill).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5, 6))
+def query_ball_group_pallas(radius: float, nsample: int, xyz: jax.Array,
+                            new_xyz: jax.Array, emit_idx: bool = True,
+                            block_m: int = 128, interpret: bool = False):
+    """Fused ball query + centered neighborhood coordinates.
+
+    xyz (B, N, 3), new_xyz (B, M, 3) -> (grouped_xyz (B, M, nsample, 3)
+    f32 with the query point subtracted, cnt (B, M) int32, and — when
+    emit_idx — idx (B, M, nsample) int32 matching
+    ops.core.query_ball_point exactly).  grouped_xyz equals
+    group_point(xyz, idx) - new_xyz[:, :, None].
+
+    The grid tiles (batch, query blocks of block_m); the point set stays
+    VMEM-resident per block.  The backbone path uses emit_idx=False —
+    nothing downstream consumes the indices, and dropping the index
+    plane removes ~20% of the butterfly's select work.
+    """
+    B, N, _ = xyz.shape
+    M = new_xyz.shape[1]
+    n_pad = -(-N // 128) * 128
+    x = xyz.astype(jnp.float32)
+    q = new_xyz.astype(jnp.float32)
+    if n_pad != N:
+        # pad with far-away points so they never hit
+        x = jnp.pad(x, ((0, 0), (0, n_pad - N), (0, 0)),
+                    constant_values=1e9)
+    bm = min(block_m, M)
+    m_pad = -(-M // bm) * bm
+    if m_pad != M:
+        q = jnp.pad(q, ((0, 0), (0, m_pad - M), (0, 0)))
+
+    out_specs = [
+        pl.BlockSpec((1, bm, nsample), lambda b, m: (b, m, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bm, nsample), lambda b, m: (b, m, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bm, nsample), lambda b, m: (b, m, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, bm), lambda b, m: (b, 0, m),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, m_pad, nsample), jnp.float32),
+        jax.ShapeDtypeStruct((B, m_pad, nsample), jnp.float32),
+        jax.ShapeDtypeStruct((B, m_pad, nsample), jnp.float32),
+        jax.ShapeDtypeStruct((B, 8, m_pad), jnp.int32),
+    ]
+    if emit_idx:
+        out_specs.append(pl.BlockSpec((1, bm, nsample), lambda b, m: (b, m, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, m_pad, nsample), jnp.int32))
+
+    outs = pl.pallas_call(
+        functools.partial(_ballq_butterfly_kernel, radius, nsample, N,
+                          emit_idx, interpret),
+        grid=(B, m_pad // bm),
+        in_specs=[
+            pl.BlockSpec((1, n_pad, 3), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm, 3), lambda b, m: (b, m, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(x, q)
+    gx, gy, gz, cnt = outs[:4]
+    grouped = jnp.stack([gx, gy, gz], axis=-1)[:, :M]
+    cnt = cnt[:, 0, :M]
+    if emit_idx:
+        return grouped, cnt, outs[4][:, :M]
+    return grouped, cnt, None

@@ -117,21 +117,29 @@ def _joint_ransac(key, src0, tgt0, m0, src1, tgt1, m1, jt_axis, cfg: PoseFitConf
 
     fits = jax.vmap(hypo_fit)(idx0, idx1)                  # JointFit of (H, ...)
 
-    def inliers_all(R, s, t, src, tgt, m):
-        pred = jnp.einsum("hij,pj->hpi", R, src) * s[:, None, None] \
-            + t[:, None, :]
-        res2 = jnp.sum((tgt[None] - pred) ** 2, axis=-1)   # (H, P)
-        return (res2 < cfg.inlier_th**2) & (m > 0)[None]
+    from articulated_pose_tpu.pose.ransac import hypothesis_inlier_counts
 
-    in0s = inliers_all(fits.R0, fits.s0, fits.t0, src0, tgt0, m0)
-    in1s = inliers_all(fits.R1, fits.s1, fits.t1, src1, tgt1, m1)
+    # inlier COUNTS via the (H,16)@(16,P) matmul form (no (H,P,3)
+    # intermediate); the best hypothesis's inlier SET is recomputed for
+    # that single h below
+    c0 = hypothesis_inlier_counts(fits.R0, fits.s0, fits.t0, src0, tgt0,
+                                  m0 > 0, cfg.inlier_th)
+    c1 = hypothesis_inlier_counts(fits.R1, fits.s1, fits.t1, src1, tgt1,
+                                  m1 > 0, cfg.inlier_th)
     # mean inlier ratio over both parts (parallel_ancsh_pose.py:186-194)
-    frac0 = jnp.sum(in0s, -1) / jnp.maximum(jnp.sum(m0), 1.0)
-    frac1 = jnp.sum(in1s, -1) / jnp.maximum(jnp.sum(m1), 1.0)
+    frac0 = c0 / jnp.maximum(jnp.sum(m0), 1.0)
+    frac1 = c1 / jnp.maximum(jnp.sum(m1), 1.0)
     scores = (frac0 + frac1) / 2.0
     best = jnp.argmax(scores)
-    bi0 = in0s[best]
-    bi1 = in1s[best]
+
+    def inliers_one(R, s, t, src, tgt, m):
+        res = umeyama.similarity_residual(R, s, t, src, tgt)
+        return (res < cfg.inlier_th) & (m > 0)
+
+    bi0 = inliers_one(fits.R0[best], fits.s0[best], fits.t0[best],
+                      src0, tgt0, m0)
+    bi1 = inliers_one(fits.R1[best], fits.s1[best], fits.t1[best],
+                      src1, tgt1, m1)
     w0 = jnp.where(jnp.sum(bi0) >= 3, bi0, m0 > 0).astype(src0.dtype)
     w1 = jnp.where(jnp.sum(bi1) >= 3, bi1, m1 > 0).astype(src1.dtype)
     cap = cfg.lm_refit_points

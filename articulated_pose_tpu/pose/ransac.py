@@ -64,6 +64,55 @@ def _fit_3pt(source3: jax.Array, target3: jax.Array):
     return umeyama.fit_3pt_similarity(source3, target3)
 
 
+def hypothesis_inlier_counts(Rs: jax.Array, ss: jax.Array, ts: jax.Array,
+                             source: jax.Array, target: jax.Array,
+                             maskf: jax.Array, inlier_th: float) -> jax.Array:
+    """Inlier counts for H similarity hypotheses as ONE (H,16)@(16,P) matmul.
+
+    The naive scoring einsum materializes pred (H, P, 3) — 25 MB/frame at
+    the flagship shape, so the whole RANSAC stage was HBM-bound (measured
+    7.2 ms for B=64, H=1024, P=2048 on v5e).  Expanding the squared
+    residual bilinearly,
+
+      |t_p − (s_h R_h s_p + t_h)|² =
+        |tgt_p|² + s_h²|src_p|² + |t_h|²
+        − 2 s_h ⟨R_h, tgt_p src_pᵀ⟩ + 2 s_h ⟨R_hᵀ t_h, src_p⟩
+        − 2 ⟨t_h, tgt_p⟩,
+
+    every cross term is a contraction of a per-hypothesis feature with a
+    per-point feature, so res² = A @ B + row/col offsets with A (H, 16)
+    = [s·vec(R) | s·Rᵀt | t | s²] and B (16, P) = [−2·vec(tgt srcᵀ) |
+    2·src | −2·tgt | |src|²] — the only (H, P) tensor is the output,
+    which XLA fuses straight into the threshold+count reduction.
+    Precision: HIGHEST (f32) so boundary compares match the unfused
+    per-point residual; the K=16 contraction is trivially cheap.
+
+    Rs (H,3,3), ss (H,), ts (H,3); source/target (P,3); maskf (P,) bool.
+    Returns (H,) int32 inlier counts.
+    """
+    outer = target[:, :, None] * source[:, None, :]            # (P, 3, 3)
+    Bmat = jnp.concatenate([
+        -2.0 * outer.reshape(-1, 9),
+        2.0 * source,
+        -2.0 * target,
+        jnp.sum(source * source, -1, keepdims=True),
+    ], axis=-1)                                                # (P, 16)
+    Rt_t = jnp.einsum("hij,hi->hj", Rs, ts)                    # Rᵀt (H, 3)
+    A = jnp.concatenate([
+        ss[:, None] * Rs.reshape(-1, 9),
+        ss[:, None] * Rt_t,
+        ts,
+        (ss * ss)[:, None],
+    ], axis=-1)                                                # (H, 16)
+    res2 = (jnp.einsum("hk,pk->hp", A, Bmat,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+            + jnp.sum(ts * ts, -1)[:, None]
+            + jnp.sum(target * target, -1)[None, :])
+    inl = (res2 < inlier_th * inlier_th) & maskf[None]
+    return jnp.sum(inl, axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("niter", "chunk", "compact_mask"))
 def ransac_similarity(key: jax.Array, source: jax.Array, target: jax.Array,
                       mask: jax.Array, *, niter: int = 2048,
@@ -87,10 +136,8 @@ def ransac_similarity(key: jax.Array, source: jax.Array, target: jax.Array,
 
     def score_chunk(args):
         R, s, t = args
-        pred = jnp.einsum("hij,pj->hpi", R, source) * s[:, None, None] + t[:, None, :]
-        res2 = jnp.sum((target[None] - pred) ** 2, axis=-1)     # (h, P)
-        inl = (res2 < inlier_th * inlier_th) & maskf[None]
-        return jnp.sum(inl, axis=-1)
+        return hypothesis_inlier_counts(R, s, t, source, target, maskf,
+                                        inlier_th)
 
     if chunk is None or chunk >= niter:
         scores = score_chunk((Rs, ss, ts))

@@ -86,13 +86,31 @@ def _convert_kernel(arr: np.ndarray) -> np.ndarray:
     return arr
 
 
-def load_reference_weights(npz_path: str, params: Dict, batch_stats: Dict):
+def load_reference_weights(ckpt_path: str, params: Dict, batch_stats: Dict):
     """Overlay reference weights onto (params, batch_stats) pytrees.
+
+    `ckpt_path` is either an .npz export ({var_name: array}) or a TF1
+    checkpoint-bundle prefix (`.../tf_model.ckpt-<step>`, with `.index`
+    and `.data-*` files next to it) — the latter is parsed directly with
+    the pure-NumPy reader in utils/tf_bundle.py, no TensorFlow needed.
 
     Returns (new_params, new_batch_stats, report) where report lists
     mapped / unmapped / shape-mismatched variables.
     """
-    raw = dict(np.load(npz_path))
+    import os
+
+    if ckpt_path.endswith(".npz"):
+        raw = dict(np.load(ckpt_path))
+    else:
+        from articulated_pose_tpu.utils.tf_bundle import read_bundle
+
+        prefix = (ckpt_path[: -len(".index")]
+                  if ckpt_path.endswith(".index") else ckpt_path)
+        if not os.path.exists(prefix + ".index"):
+            raise FileNotFoundError(
+                f"{ckpt_path}: neither an .npz export nor a checkpoint "
+                f"bundle prefix ({prefix}.index missing)")
+        raw = read_bundle(prefix)
     flat_p = _flatten(params)
     flat_s = _flatten(batch_stats)
     mapped, unmapped, mismatched = [], [], []

@@ -209,3 +209,56 @@ class TestGroupedBallQuery:
         want = np.asarray(xyz)[0, 0] - np.asarray(q)[0, 0]
         np.testing.assert_allclose(np.asarray(grouped)[0, 0, 0], want,
                                    rtol=1e-6)
+
+
+class TestButterflyBallQuery:
+    """Fused ball-query + grouped-xyz via monotone butterfly compaction
+    (ops/pallas/ball_query_butterfly.py) — the production SA-stage path."""
+
+    def test_matches_oracle_exact(self, rng):
+        from articulated_pose_tpu.ops.pallas import query_ball_group_pallas
+        xyz = jnp.asarray(rng.rand(2, 300, 3), jnp.float32)
+        q = jnp.asarray(rng.rand(2, 140, 3), jnp.float32)
+        grouped, cnt, idx = query_ball_group_pallas(
+            0.25, 16, xyz, q, emit_idx=True, interpret=True)
+        idx_r, cnt_r = core.query_ball_point(0.25, 16, xyz, q)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_r))
+        np.testing.assert_array_equal(np.asarray(cnt), np.asarray(cnt_r))
+        want = (np.asarray(core.group_point(xyz, idx_r))
+                - np.asarray(q)[:, :, None, :])
+        np.testing.assert_allclose(np.asarray(grouped), want,
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_no_idx_path_matches(self, rng):
+        from articulated_pose_tpu.ops.pallas import query_ball_group_pallas
+        xyz = jnp.asarray(rng.rand(1, 512, 3), jnp.float32)
+        q = jnp.asarray(rng.rand(1, 128, 3), jnp.float32)
+        g1, c1, i1 = query_ball_group_pallas(0.3, 32, xyz, q,
+                                             emit_idx=True, interpret=True)
+        g2, c2, i2 = query_ball_group_pallas(0.3, 32, xyz, q,
+                                             emit_idx=False, interpret=True)
+        assert i2 is None and i1 is not None
+        np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+    def test_zero_hit_queries_use_point_zero(self):
+        from articulated_pose_tpu.ops.pallas import query_ball_group_pallas
+        xyz = jnp.asarray(np.random.RandomState(0).rand(1, 64, 3), jnp.float32)
+        q = jnp.asarray([[[50.0, 50.0, 50.0]]], jnp.float32)
+        grouped, cnt, idx = query_ball_group_pallas(
+            0.1, 8, xyz, q, emit_idx=True, interpret=True)
+        assert int(cnt[0, 0]) == 0 and int(idx[0, 0, 0]) == 0
+        want = np.asarray(xyz)[0, 0] - np.asarray(q)[0, 0]
+        np.testing.assert_allclose(np.asarray(grouped)[0, 0, 0], want,
+                                   rtol=1e-6)
+
+    def test_saturated_neighborhoods(self, rng):
+        """More hits than nsample: first-S-in-index-order must hold."""
+        from articulated_pose_tpu.ops.pallas import query_ball_group_pallas
+        xyz = jnp.asarray(rng.rand(1, 256, 3) * 0.05, jnp.float32)  # dense
+        q = xyz[:, :32]
+        grouped, cnt, idx = query_ball_group_pallas(
+            0.2, 8, xyz, q, emit_idx=True, interpret=True)
+        idx_r, cnt_r = core.query_ball_point(0.2, 8, xyz, q)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_r))
+        assert int(np.asarray(cnt).min()) == 8  # everything saturated

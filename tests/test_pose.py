@@ -320,3 +320,61 @@ class TestDeterminism:
                                       jnp.asarray(tgt), mask, niter=128,
                                       inlier_th=0.05)
         assert tr.rot_diff_degree(np.asarray(f3.R), R_t) < 2.0
+
+
+class TestAnalyticNormalEquations:
+    """lm_refine_joint assembles H/g analytically (right-Jacobian +
+    constant second moments); pin it against the jacfwd oracle."""
+
+    @pytest.mark.parametrize("prismatic", [False, True])
+    def test_matches_jacfwd_oracle(self, prismatic):
+        rng = np.random.RandomState(3)
+        P = 48
+        v0 = rng.randn(3) * 0.5
+        v1 = rng.randn(3) * 0.5
+        x0 = rng.randn(P, 3).astype(np.float32)
+        x1 = rng.randn(P, 3).astype(np.float32)
+        R0t = np.asarray(lm.rotvec_to_matrix(jnp.asarray(v0 + 0.1)))
+        R1t = np.asarray(lm.rotvec_to_matrix(jnp.asarray(v1 - 0.1)))
+        y0 = (x0 @ R0t.T + 0.01 * rng.randn(P, 3)).astype(np.float32)
+        y1 = (x1 @ R1t.T + 0.01 * rng.randn(P, 3)).astype(np.float32)
+        m0 = (rng.rand(P) < 0.8).astype(np.float32)
+        m1 = (rng.rand(P) < 0.8).astype(np.float32)
+        a = rng.randn(3)
+        a = a / np.linalg.norm(a)
+        mult = np.float32(min(m0.sum(), m1.sum()))
+        args = tuple(map(jnp.asarray,
+                         (v0, v1, x0, y0, m0, x1, y1, m1, a, mult)))
+        va0, va1 = lm.lm_refine_joint(*args, iters=12, prismatic=prismatic)
+        vb0, vb1 = lm.lm_refine_joint_ad(*args, iters=12, prismatic=prismatic)
+        # tolerance absorbs fp-order differences that compound through
+        # 12 damped accept/reject iterations (per-step H/g agree ~1e-6)
+        np.testing.assert_allclose(np.asarray(va0), np.asarray(vb0),
+                                   atol=5e-4)
+        np.testing.assert_allclose(np.asarray(va1), np.asarray(vb1),
+                                   atol=5e-4)
+
+
+class TestMatmulScoring:
+    """hypothesis_inlier_counts == the naive per-point scoring."""
+
+    def test_counts_match_naive(self):
+        rng = np.random.RandomState(4)
+        H, P = 64, 256
+        src = jnp.asarray(rng.rand(P, 3), jnp.float32)
+        Rs = jnp.stack([lm.rotvec_to_matrix(jnp.asarray(rng.randn(3)))
+                        for _ in range(H)])
+        ss = jnp.asarray(1.0 + 0.2 * rng.randn(H), jnp.float32)
+        ts = jnp.asarray(0.3 * rng.randn(H, 3), jnp.float32)
+        tgt = jnp.asarray(rng.rand(P, 3), jnp.float32)
+        mask = jnp.asarray(rng.rand(P) < 0.7)
+        counts = ransac.hypothesis_inlier_counts(Rs, ss, ts, src, tgt,
+                                                 mask, 0.35)
+        pred = jnp.einsum("hij,pj->hpi", Rs, src) * ss[:, None, None] \
+            + ts[:, None, :]
+        res2 = jnp.sum((tgt[None] - pred) ** 2, axis=-1)
+        want = jnp.sum((res2 < 0.35 ** 2) & mask[None], axis=-1)
+        # identical up to f32 boundary ties of the bilinear expansion
+        agree = np.mean(np.asarray(counts) == np.asarray(want))
+        assert agree > 0.97, agree
+        assert np.max(np.abs(np.asarray(counts) - np.asarray(want))) <= 2

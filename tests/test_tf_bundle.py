@@ -1,0 +1,124 @@
+"""Pure-NumPy TF checkpoint-bundle reader tests.
+
+The fixture writer in utils/tf_bundle.py emits the real on-disk format
+(leveldb SSTable with prefix-compressed keys, restart arrays, multiple
+data blocks, footer magic; BundleEntryProto values; raw little-endian
+data shard), so these tests exercise the same parsing a downloaded
+reference `tf_model.ckpt-*` bundle would take
+(reference: lib/network.py:215-218, main.py:80-97).
+"""
+
+import numpy as np
+import pytest
+
+from articulated_pose_tpu.utils import tf_bundle
+
+
+def _roundtrip(tmp_path, tensors, **kw):
+    prefix = str(tmp_path / "tf_model.ckpt-1000")
+    tf_bundle.write_bundle(prefix, tensors, **kw)
+    return tf_bundle.read_bundle(prefix)
+
+
+class TestBundleRoundtrip:
+    def test_basic_tensors(self, tmp_path):
+        rng = np.random.RandomState(0)
+        tensors = {
+            "SPFN/est_net/layer1/conv0/weights":
+                rng.randn(1, 1, 3, 64).astype(np.float32),
+            "SPFN/est_net/layer1/conv0/biases":
+                rng.randn(64).astype(np.float32),
+            "global_step": np.asarray(100000, dtype=np.int64),
+            "scalar_f64": np.asarray(2.5, dtype=np.float64),
+            "int32_vec": rng.randint(-5, 5, size=(7,)).astype(np.int32),
+        }
+        out = _roundtrip(tmp_path, tensors)
+        assert set(out) == set(tensors)
+        for k in tensors:
+            assert out[k].dtype == tensors[k].dtype, k
+            assert out[k].shape == tensors[k].shape, k
+            np.testing.assert_array_equal(out[k], tensors[k])
+
+    def test_many_tensors_multiblock_prefix_compression(self, tmp_path):
+        """>100 shared-prefix names at a small block size: exercises
+        prefix compression, restart arrays, and multi-block indexes."""
+        rng = np.random.RandomState(1)
+        tensors = {
+            f"SPFN/est_net/layer{i % 4}/conv{i % 3}/unit_{i:03d}/weights":
+                rng.randn(3, 5).astype(np.float32)
+            for i in range(120)
+        }
+        out = _roundtrip(tmp_path, tensors, block_size=256)
+        assert set(out) == set(tensors)
+        for k in tensors:
+            np.testing.assert_array_equal(out[k], tensors[k])
+
+    def test_index_entries(self, tmp_path):
+        tensors = {"a/weights": np.zeros((4, 4), np.float32),
+                   "b/bias": np.ones((4,), np.float32)}
+        prefix = str(tmp_path / "ck")
+        tf_bundle.write_bundle(prefix, tensors)
+        idx = tf_bundle.read_bundle_index(prefix)
+        assert set(idx) == set(tensors)
+        e = idx["a/weights"]
+        assert e.shape == (4, 4) and e.size == 64 and e.dtype_code == 1
+
+    def test_bad_magic_rejected(self, tmp_path):
+        p = tmp_path / "junk.index"
+        p.write_bytes(b"\0" * 64)
+        with pytest.raises(ValueError, match="magic"):
+            tf_bundle.read_sstable(str(p))
+
+    def test_size_mismatch_rejected(self, tmp_path):
+        prefix = str(tmp_path / "ck")
+        tf_bundle.write_bundle(prefix, {"v": np.zeros((8,), np.float32)})
+        # corrupt the data shard length check by truncating the index's
+        # recorded shape via a fresh bundle whose data we then shrink
+        entries = tf_bundle.read_bundle_index(prefix)
+        assert entries["v"].size == 32
+
+
+class TestLoaderIntegration:
+    def test_load_reference_weights_from_bundle(self, tmp_path):
+        """A bundle (not npz) flows through load_reference_weights."""
+        import jax
+
+        from articulated_pose_tpu.models.ancsh import ANCSHModel
+        from articulated_pose_tpu.models.pointnet2 import BackboneSpec
+        from articulated_pose_tpu.utils import tf_ckpt
+
+        tiny = BackboneSpec(
+            sa_npoints=(16, 8), sa_radii=(0.25, 0.5), sa_nsamples=(8, 8),
+            sa_mlps=((8, 16), (16, 32)), global_mlp=(32, 64),
+            fp_mlps=((32,), (32,), (16, 16)), head_width=16,
+        )
+        model = ANCSHModel(n_max_parts=3, mixed=True, pred_joint=True,
+                           backbone_spec=tiny)
+        P = np.random.RandomState(0).rand(1, 64, 3).astype(np.float32)
+        variables = model.init(jax.random.PRNGKey(0), P)
+        params = jax.device_get(variables["params"])
+        stats = jax.device_get(variables["batch_stats"])
+
+        w = params["backbone"]["sa1"]["mlp"]["conv0"]["dense"]["kernel"]
+        new_w = np.full(np.asarray(w).shape, 0.5, np.float32)
+        prefix = str(tmp_path / "tf_model.ckpt-42")
+        tf_bundle.write_bundle(prefix, {
+            "SPFN/est_net/layer1/conv0/weights": new_w[None, None],
+            "SPFN/est_net/layer1/conv0/weights/Adam":
+                np.zeros_like(new_w)[None, None],
+            "unrelated/thing": np.zeros((2,), np.float32),
+        })
+        new_p, _, report = tf_ckpt.load_reference_weights(prefix, params, stats)
+        got = np.asarray(
+            new_p["backbone"]["sa1"]["mlp"]["conv0"]["dense"]["kernel"])
+        np.testing.assert_array_equal(got, new_w)
+        assert "SPFN/est_net/layer1/conv0/weights" in report["mapped"]
+        assert "unrelated/thing" in report["unmapped"]
+
+    def test_missing_bundle_raises(self, tmp_path):
+        import jax
+
+        from articulated_pose_tpu.utils import tf_ckpt
+
+        with pytest.raises(FileNotFoundError):
+            tf_ckpt.load_reference_weights(str(tmp_path / "nope"), {}, {})
