@@ -69,7 +69,12 @@ class NetworkConfig:
     # --- data ----------------------------------------------------------------
     data_root: str = "data"
     num_expr: str = "0.01"
-    train_data_add_noise: bool = True
+    # Gaussian input-point jitter on training samples (provider.py:99-112
+    # semantics).  NOTE: the reference's cfg sets this true but its loader
+    # never consumes the flag (lib/dataset.py:436,558 accept add_noise and
+    # ignore it), so the reference effectively trains WITHOUT noise —
+    # default False matches that behavior; True actually augments here.
+    train_data_add_noise: bool = False
     fixed_order_val: bool = True
     thres_r: float = 0.2               # joint-association radius (reference dataset.py:535)
 

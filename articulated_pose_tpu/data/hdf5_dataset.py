@@ -137,7 +137,8 @@ class HDF5Dataset:
                  num_points: int = 1024, n_max_parts: Optional[int] = None,
                  batch_size: int = 16, nocs_type: str = "AC",
                  fixed_order: bool = False, first_n: int = -1, seed: int = 0,
-                 thres_r: float = 0.2, eval_subsample: bool = False):
+                 thres_r: float = 0.2, eval_subsample: bool = False,
+                 add_noise: bool = False):
         if h5py is None:
             raise ImportError("h5py is required for HDF5Dataset")
         self.root_dir = root_dir
@@ -153,6 +154,10 @@ class HDF5Dataset:
         self.fixed_order = fixed_order
         self.thres_r = thres_r
         self.batch_size = batch_size
+        # input-point jitter (provider.py:99-112); GT labels stay clean —
+        # only the network input is perturbed.  The reference's add_noise
+        # flag was accepted but never consumed (lib/dataset.py:436,558).
+        self.add_noise = add_noise and mode == "train"
         self._rng = np.random.RandomState(seed)
 
         split_file = os.path.join(root_dir, "splits", category, num_expr,
@@ -235,6 +240,11 @@ class HDF5Dataset:
             sample["P"] = P_norm.astype(np.float32)
             sample["P_center"] = center.astype(np.float32)
             sample["P_scale"] = np.float32(scale)
+        if self.add_noise:
+            from articulated_pose_tpu.data import augment
+
+            sample["P"] = augment.jitter_point_cloud(
+                sample["P"], self._rng).astype(np.float32)
         return sample
 
     def iterator(self, shuffle: Optional[bool] = None,

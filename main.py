@@ -59,6 +59,12 @@ def make_datasets(args, cfg, spec, mode: str, domain=None,
                              nocs_type="AC" if cfg.is_mixed else "A")
                    for _ in range(n)]
         frames = [s for s, _ in samples]
+        if mode == "train" and cfg.train_data_add_noise:
+            from articulated_pose_tpu.data import augment
+
+            for s in frames:
+                s["P"] = augment.jitter_point_cloud(s["P"], rng).astype(
+                    np.float32)
         gts = [g for _, g in samples]
         it = BatchIterator(n, lambda i: frames[i], cfg.batch_size,
                            shuffle=(mode == "train"), seed=0,
@@ -75,7 +81,8 @@ def make_datasets(args, cfg, spec, mode: str, domain=None,
                      batch_size=cfg.batch_size,
                      nocs_type="AC" if cfg.is_mixed else "A",
                      fixed_order=(mode != "train"),
-                     eval_subsample=eval_subsample)
+                     eval_subsample=eval_subsample,
+                     add_noise=cfg.train_data_add_noise)
     it = ds.iterator(shuffle=(mode == "train"),
                      drop_last=(mode == "train"))
     it.basenames = ds.basenames

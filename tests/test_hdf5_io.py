@@ -160,3 +160,29 @@ def test_empty_filtered_split_raises_clearly(tmp_path):
     with pytest.raises(ValueError, match="empty 'test' split"):
         HDF5Dataset(root, "eyeglasses", mode="test", domain="unseen",
                     num_points=64, batch_size=1)
+
+
+class TestTrainNoise:
+    """cfg.train_data_add_noise actually augments (the reference's flag
+    was accepted but never consumed — lib/dataset.py:436,558)."""
+
+    def test_jitter_perturbs_inputs_only(self, disk_dataset):
+        root, gen, train, test = disk_dataset
+        ds_clean = HDF5Dataset(root, "eyeglasses", mode="train",
+                               num_points=128, batch_size=2, seed=3)
+        ds_noisy = HDF5Dataset(root, "eyeglasses", mode="train",
+                               num_points=128, batch_size=2, seed=3,
+                               add_noise=True)
+        a = ds_clean.fetch(0)
+        b = ds_noisy.fetch(0)
+        # same draw order -> same labels; inputs jittered within the clip
+        np.testing.assert_array_equal(a["nocs_gt"], b["nocs_gt"])
+        np.testing.assert_array_equal(a["cls_gt"], b["cls_gt"])
+        d = np.abs(a["P"] - b["P"])
+        assert d.max() > 0 and d.max() <= 0.05 + 1e-6
+
+    def test_noise_off_in_eval_mode(self, disk_dataset):
+        root, gen, train, test = disk_dataset
+        ds = HDF5Dataset(root, "eyeglasses", mode="test", num_points=128,
+                         batch_size=2, fixed_order=True, add_noise=True)
+        assert ds.add_noise is False

@@ -378,3 +378,34 @@ class TestMatmulScoring:
         agree = np.mean(np.asarray(counts) == np.asarray(want))
         assert agree > 0.97, agree
         assert np.max(np.abs(np.asarray(counts) - np.asarray(want))) <= 2
+
+
+class TestBisectionMedian:
+    """masked_median's 32-step bit-lattice bisection == np.median."""
+
+    def test_matches_numpy_many(self):
+        rng = np.random.RandomState(7)
+        for trial in range(20):
+            N = rng.choice([5, 64, 127, 256])
+            x = (rng.randn(N, 3) * rng.choice([1e-3, 1.0, 1e3])).astype(
+                np.float32)
+            m = (rng.rand(N) < rng.choice([0.3, 0.9])).astype(np.float32)
+            if m.sum() == 0:
+                m[0] = 1.0
+            got = np.asarray(pipeline.masked_median(jnp.asarray(x),
+                                                    jnp.asarray(m)))
+            want = np.median(x[m > 0], axis=0)
+            np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+    def test_negative_and_duplicate_values(self):
+        x = jnp.asarray([[-5.0, 0.0], [-5.0, -0.0], [2.0, 1.0],
+                         [7.0, 1.0]], jnp.float32)
+        m = jnp.ones((4,))
+        got = np.asarray(pipeline.masked_median(x, m))
+        want = np.median(np.asarray(x), axis=0)
+        np.testing.assert_allclose(got, want, atol=0)
+
+    def test_empty_mask_nonfinite(self):
+        x = jnp.asarray(np.random.RandomState(0).randn(8, 3), jnp.float32)
+        got = np.asarray(pipeline.masked_median(x, jnp.zeros((8,))))
+        assert not np.isfinite(got).any()
