@@ -308,6 +308,25 @@ def cmd_pose_eval(args, do_pose=True):
     print("wrote", out_path)
 
 
+def cmd_joint_baseline(args):
+    """Train/eval the direct joint-regression baseline
+    (`--model joint_baseline`; reference lib/architecture.py:163-192)."""
+    from articulated_pose_tpu.train.joint_baseline import run_joint_baseline
+
+    cfg, spec = build_config(args)
+    work = args.work_dir or os.path.join(cfg.experiment_dir, cfg.category,
+                                         "joint_baseline")
+    train_it = test_it = None
+    if args.command in ("train", "demo"):
+        train_it = make_datasets(args, cfg, spec, "train")
+    if args.command in ("test", "pose", "eval", "demo"):
+        test_it = make_datasets(args, cfg, spec, "test", domain=args.domain)
+    out = run_joint_baseline(cfg, work, train_it=train_it, test_it=test_it,
+                             max_steps=args.max_steps, n_epochs=args.epochs)
+    print("joint_baseline:", json.dumps(
+        {k: round(float(v), 5) for k, v in out.items()}))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("command", choices=["train", "test", "pose", "eval", "demo"])
@@ -330,8 +349,19 @@ def main(argv=None):
                          "subsampled grid (get_full_test vs get_test_group)")
     ap.add_argument("--nocs", default="NPCS", choices=["NPCS", "NAOCS"],
                     help="pose-fit source space (NAOCS = gocs head)")
+    ap.add_argument("--model", default="ancsh",
+                    choices=["ancsh", "joint_baseline"],
+                    help="joint_baseline = direct joint-parameter "
+                         "regression (reference lib/architecture.py:163-192, "
+                         "the global_info.py joint_baseline experiments)")
     args = ap.parse_args(argv)
 
+    if args.model == "joint_baseline":
+        if args.command == "demo":
+            args.synthetic = True
+            args.max_steps = args.max_steps or 30
+        cmd_joint_baseline(args)
+        return
     if args.command == "train":
         cmd_train(args)
     elif args.command == "test":

@@ -96,3 +96,20 @@ class TestCLI:
                     "--work_dir", str(tmp_path / "work"))
         assert r.returncode == 0, r.stderr[-2000:]
         assert "final:" in r.stdout
+
+    def test_joint_baseline_train_eval(self, tmp_path):
+        """--model joint_baseline: the reference's third experiment family
+        (lib/architecture.py:163-192) drivable end to end."""
+        wd = str(tmp_path / "jb")
+        r = run_cli("demo", "--model", "joint_baseline", "--synthetic",
+                    "--max_steps", "4", "--batch_size", "4",
+                    "--num_points", "128", "--synthetic_frames", "8",
+                    "--work_dir", wd)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "joint_axis_err_deg" in r.stdout
+        r2 = run_cli("eval", "--model", "joint_baseline", "--synthetic",
+                     "--synthetic_frames", "8", "--batch_size", "4",
+                     "--num_points", "128", "--work_dir", wd)
+        assert r2.returncode == 0, r2.stderr[-2000:]
+        assert "resumed_step\": 4" in r2.stdout
+        assert os.path.exists(os.path.join(wd, "joint_baseline_eval.json"))
