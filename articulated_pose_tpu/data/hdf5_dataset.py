@@ -89,6 +89,27 @@ def get_test_group(files: Sequence[str], spec: CategorySpec,
     return out
 
 
+def get_demo_h5(all_test_h5: Sequence[str],
+                spec_instances: Sequence[str] = ()) -> List[str]:
+    """Demo-frame selection (lib/data_utils.py:960-967): keep .h5 entries
+    whose instance id is not in spec_instances.
+
+    The reference matched the instance by the path's first 4 characters
+    (its lists were instance-relative); here the id comes from the path
+    layout when present, falling back to the same prefix rule.
+    """
+    spec = set(spec_instances)
+    out = []
+    for f in all_test_h5:
+        if not f.endswith("h5"):
+            continue
+        ins = instance_of(f) if f.count("/") >= 2 else f[0:4]
+        if ins in spec:
+            continue
+        out.append(f)
+    return out
+
+
 class InstanceInfo:
     """Per-instance normalization + joints, loaded from model_info.json."""
 

@@ -67,9 +67,17 @@ def _fps_kernel(npoint: int, n_valid: int, xyz_ref, out_ref):
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3))
 def farthest_point_sample_pallas(npoint: int, xyz: jax.Array,
-                                 block_b: int = 64,
+                                 block_b: int = 0,
                                  interpret: bool = False) -> jax.Array:
     """xyz (B, N, 3) -> (B, npoint) int32, Pallas VMEM-resident FPS.
+
+    block_b: batch rows per grid step; 0 (default) auto-sizes so the
+    VMEM working set (3 coordinate planes + the min-distance state +
+    ~2 working planes per row) stays under ~8 MB — the large-cloud tier:
+    N=32k runs at block_b=8 where the old fixed block_b=64 needed ~33 MB
+    and could not fit VMEM (SURVEY §5 "blockwise" plan; the O(N)
+    min-distance carry itself is unavoidable — it is the same recurrence
+    as the CUDA kernel, tf_sampling_g.cu:105-170).
 
     `interpret=True` runs the kernel in the Pallas interpreter (CPU
     testing).  Tie behavior may differ from ops.core by one f32 ulp —
@@ -77,6 +85,14 @@ def farthest_point_sample_pallas(npoint: int, xyz: jax.Array,
     """
     B, N, _ = xyz.shape
     n_pad = -(-N // 128) * 128
+    if block_b <= 0:
+        budget = 8 * 2**20
+        block_b = max(1, min(64, budget // (6 * n_pad * 4)))
+    if n_pad * 6 * 4 > 14 * 2**20:
+        raise ValueError(
+            f"farthest_point_sample_pallas: N={N} needs ~{n_pad * 24 >> 20} MB "
+            "VMEM per batch row (> the ~14 MB budget even at block_b=1); "
+            "use ops.core.farthest_point_sample (XLA) for clouds this large")
     planes = jnp.transpose(xyz.astype(jnp.float32), (0, 2, 1))  # (B, 3, N)
     if n_pad != N:
         planes = jnp.pad(planes, ((0, 0), (0, 0), (0, n_pad - N)))

@@ -186,3 +186,39 @@ class TestTrainNoise:
         ds = HDF5Dataset(root, "eyeglasses", mode="test", num_points=128,
                          batch_size=2, fixed_order=True, add_noise=True)
         assert ds.add_noise is False
+
+
+class TestDemoSelection:
+    def test_get_demo_h5(self):
+        from articulated_pose_tpu.data.hdf5_dataset import get_demo_h5
+        files = ["hdf5/eyeglasses/0001/0/0.h5", "hdf5/eyeglasses/0002/0/1.h5",
+                 "hdf5/eyeglasses/0001/1/2.h5", "notes.txt"]
+        out = get_demo_h5(files, spec_instances=["0002"])
+        assert out == ["hdf5/eyeglasses/0001/0/0.h5",
+                       "hdf5/eyeglasses/0001/1/2.h5"]
+
+
+class TestPlyIO:
+    def test_roundtrip(self, tmp_path):
+        from articulated_pose_tpu.utils.pc_util import (read_pointcloud,
+                                                        write_pointcloud)
+        rng = np.random.RandomState(0)
+        xyz = rng.randn(100, 3).astype(np.float32)
+        rgb = rng.randint(0, 256, (100, 3)).astype(np.uint8)
+        p = str(tmp_path / "cloud.ply")
+        write_pointcloud(p, xyz, rgb)
+        x2, c2 = read_pointcloud(p)
+        np.testing.assert_array_equal(x2, xyz)
+        np.testing.assert_array_equal(c2, rgb)
+        # header is reference-compatible binary_little_endian 1.0
+        head = open(p, "rb").read(64)
+        assert head.startswith(b"ply\nformat binary_little_endian 1.0\n")
+
+    def test_default_white(self, tmp_path):
+        from articulated_pose_tpu.utils.pc_util import (read_pointcloud,
+                                                        write_pointcloud)
+        xyz = np.zeros((5, 3), np.float32)
+        p = str(tmp_path / "w.ply")
+        write_pointcloud(p, xyz)
+        _, c = read_pointcloud(p)
+        assert (c == 255).all()

@@ -262,3 +262,20 @@ class TestButterflyBallQuery:
         idx_r, cnt_r = core.query_ball_point(0.2, 8, xyz, q)
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_r))
         assert int(np.asarray(cnt).min()) == 8  # everything saturated
+
+
+class TestFPSAutoBlock:
+    def test_auto_block_large_cloud(self, rng):
+        """N=32k auto-sizes the batch tile so the working set fits VMEM
+        (the round-2 kernel's fixed block_b=64 needed ~33 MB)."""
+        xyz = rng.rand(2, 32768, 3).astype(np.float32)
+        out = np.asarray(farthest_point_sample_pallas(
+            8, jnp.asarray(xyz), 0, True))
+        for b in range(2):
+            assert out[b, 0] == 0
+            assert len(set(out[b].tolist())) == 8
+
+    def test_oversize_cloud_raises(self):
+        xyz = jnp.zeros((1, 1 << 20, 3), jnp.float32)
+        with pytest.raises(ValueError, match="VMEM"):
+            farthest_point_sample_pallas(4, xyz, 0, True)
