@@ -194,3 +194,87 @@ class TestQuaternions:
             q = tr.quaternion_from_matrix(R)
             np.testing.assert_allclose(tr.quaternion_matrix(q)[:3, :3], R,
                                        atol=1e-8)
+
+
+class TestUrdfGen:
+    """SAPIEN mobility.urdf cleanup + stick generator (tools/urdf_gen.py)."""
+
+    MOBILITY = """<robot name="drawer">
+  <link name="base">
+    <visual><geometry><box size="1 1 1"/></geometry></visual>
+    <collision><geometry><box size="1 1 1"/></geometry></collision>
+  </link>
+  <link name="link_0">
+    <visual><geometry><box size="0.5 0.4 0.1"/></geometry></visual>
+    <collision><geometry><box size="0.5 0.4 0.1"/></geometry></collision>
+  </link>
+  <link name="link_1">
+    <visual><geometry><box size="0.5 0.4 0.1"/></geometry></visual>
+    <collision><geometry><box size="0.5 0.4 0.1"/></geometry></collision>
+  </link>
+  <joint name="j0" type="prismatic">
+    <parent link="base"/><child link="link_0"/>
+    <origin xyz="0 0 0.1" rpy="0 0 0"/><axis xyz="0 1 0"/>
+  </joint>
+  <joint name="j1" type="prismatic">
+    <parent link="base"/><child link="link_1"/>
+    <origin xyz="0 0 0.3" rpy="0 0 0"/><axis xyz="0 1 0"/>
+  </joint>
+</robot>"""
+
+    def test_modify_urdf_roundtrip(self, tmp_path):
+        import xml.etree.ElementTree as ET
+
+        from articulated_pose_tpu.tools.urdf_gen import modify_urdf
+
+        d = str(tmp_path)
+        with open(os.path.join(d, "mobility.urdf"), "w") as f:
+            f.write(self.MOBILITY)
+        paths = modify_urdf(d)
+        assert [os.path.basename(p) for p in paths] == [
+            "syn_p0.urdf", "syn_p1.urdf", "syn_p2.urdf"]
+        names = ["base", "link_0", "link_1"]
+        for i, p in enumerate(paths):
+            root = ET.parse(p).getroot()
+            links = {ln.attrib["name"]: ln for ln in root.findall("link")}
+            # only the kept link retains a visual; nobody keeps collision
+            for name, ln in links.items():
+                assert len(ln.findall("collision")) == 0
+                n_vis = len(ln.findall("visual"))
+                assert n_vis == (1 if name == names[i] else 0)
+                inertial = ln.findall("inertial")
+                assert len(inertial) == 1
+                mass = inertial[0].find(".//mass").attrib["value"]
+                assert float(mass) == (0.0 if name == "base" else 3.0)
+            # joints survive intact so the kinematics still load
+            assert len(root.findall("joint")) == 2
+
+    def test_generate_synthetic_urdf(self, tmp_path):
+        import xml.etree.ElementTree as ET
+
+        from articulated_pose_tpu.tools.urdf_gen import generate_synthetic_urdf
+
+        rng = np.random.RandomState(0)
+        paths = generate_synthetic_urdf(3, str(tmp_path / "m"), rng)
+        assert len(paths) == 4                      # syn + 3 per-part
+        root = ET.parse(paths[0]).getroot()
+        links = root.findall("link")
+        joints = root.findall("joint")
+        assert len(links) == 3 and len(joints) == 2
+        for j in joints:
+            assert j.attrib["type"] == "revolute"
+            assert j.find("axis").attrib["xyz"] == "1 0 0"
+            assert j.find("limit") is not None
+        # heights normalized to 0.3 and descending
+        hs = [float(ln.find(".//box").attrib["size"].split()[2])
+              for ln in links]
+        np.testing.assert_allclose(sum(hs), 0.3, rtol=1e-6)
+        assert hs == sorted(hs, reverse=True)
+        # per-part file keeps only its own link's visuals
+        p1 = ET.parse(paths[2]).getroot()
+        for ln in p1.findall("link"):
+            n_vis = len(ln.findall("visual"))
+            if ln.attrib["name"] == "1":
+                assert n_vis == 2                   # link + joint cylinder
+            else:
+                assert n_vis == 0
