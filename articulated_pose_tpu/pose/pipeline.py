@@ -59,85 +59,44 @@ class PoseFitConfig:
 
 
 def partition_by_class(cls: jax.Array, n_parts: int):
-    """cls (N,) int -> (order (K, N) member-first index buffers, cnt (K,)).
+    """cls (N,) int -> (order (K, N) part-first index permutations,
+    cnt (K,)).  Fixed-size replacement for per-part np.where.
 
-    Fixed-size replacement for per-part np.where.  order[j, :cnt[j]] are
-    the indices with cls == j in ascending order; tail lanes hold
-    in-range leftovers that every consumer masks out with cnt.
-
-    Implementation: monotone butterfly compaction — each member's target
-    slot is its exclusive prefix rank, so it must move LEFT by a
-    non-decreasing distance, which routes collision-free through log2(N)
-    static power-of-2 rolls (LSB-first).  Replaces a full lax.top_k sort
-    per part (measured 2.1 -> 0.6 ms at B=64, N=2048, K=3 on v5e); the
-    same routing runs in VMEM in ops/pallas/ball_query_butterfly.py.
+    (An XLA butterfly-compaction variant — the routing that wins inside
+    the Pallas ball-query kernel — was A/B'd here and measured WORSE,
+    2.5 vs 1.9 ms at B=64, N=2048, K=3 on v5e: at XLA level the 11
+    roll+select stages materialize HBM intermediates, while top_k is one
+    fused sort.  The sort stays.)
     """
     N = cls.shape[0]
     iota = jnp.arange(N, dtype=jnp.int32)
-    member = cls[None, :] == jnp.arange(n_parts, dtype=cls.dtype)[:, None]
-    cnts = jnp.sum(member.astype(jnp.int32), axis=-1)
-    rank = jnp.cumsum(member.astype(jnp.int32), axis=-1) - member
-    rem = jnp.where(member, iota[None, :] - rank, -1)     # (K, N)
-    vals = jnp.broadcast_to(iota[None, :], rem.shape)
-    n_bits = max(1, (N - 1).bit_length())
-    for b in range(n_bits):
-        sh = 1 << b
-        if sh >= N:
-            break
-        srem = jnp.roll(rem, -sh, axis=-1)
-        svals = jnp.roll(vals, -sh, axis=-1)
-        take = (iota[None, :] + sh < N) & (srem >= 0) & ((srem & sh) != 0)
-        stay = (rem >= 0) & ((rem & sh) == 0)
-        rem = jnp.where(take, srem - sh, jnp.where(stay, rem, -1))
-        vals = jnp.where(take, svals, vals)
-    return vals, cnts
 
+    def one(j):
+        member = cls == j
+        key = jnp.where(member, -iota, -(N + iota))
+        order = -jax.lax.top_k(key, N)[0]
+        order = jnp.where(order >= N, order - N, order)
+        return order, jnp.sum(member.astype(jnp.int32))
 
-def _f32_sort_key(x: jax.Array) -> jax.Array:
-    """Monotone bijection f32 -> i32 (IEEE total order, -0.0 < +0.0)."""
-    i = jax.lax.bitcast_convert_type(x, jnp.int32)
-    return jnp.where(i >= 0, i, i ^ jnp.int32(0x7FFFFFFF))
-
-
-def _f32_from_key(k: jax.Array) -> jax.Array:
-    i = jnp.where(k >= 0, k, k ^ jnp.int32(0x7FFFFFFF))
-    return jax.lax.bitcast_convert_type(i, jnp.float32)
+    orders, cnts = jax.vmap(one)(jnp.arange(n_parts))
+    return orders, cnts
 
 
 def masked_median(x: jax.Array, mask: jax.Array) -> jax.Array:
     """Per-column median over masked rows. x (N, C), mask (N,) -> (C,).
 
-    EXACT selection by 32-step integer bisection on the monotone f32 bit
-    lattice instead of a full sort: each step is one masked count over
-    the (C, N) plane, so the cost is 32 small reductions versus a
-    bitonic sort's ~log²N full passes (measured 2.3 -> 0.4 ms at
-    B=64, N=2048, C=3 on v5e).  Matches np.median semantics: the mean of
-    the lower/upper middle order statistics of the masked values; empty
-    masks return +inf (callers guard with isfinite).
+    Sorts along the transposed LAST axis: a (N, 3) axis-0 sort runs with
+    3-lane batches on TPU, while (3, N) sorts N lanes per row.  (A
+    32-step bit-lattice bisection selection was A/B'd and measured a
+    wash — ~2.0 ms either way at B=64, N=2048 on v5e — the simpler sort
+    stays.)
     """
-    valid = mask > 0
-    keys = jnp.where(valid[None, :], _f32_sort_key(x.T),
-                     jnp.int32(0x7FFFFFFF))            # (C, N)
-    cnt = jnp.sum(valid.astype(jnp.int32))
-    ranks = jnp.stack([(cnt - 1) // 2, cnt // 2])      # (2,) lower/upper
-
-    lo = jnp.broadcast_to(jnp.min(keys, -1)[None, :], (2, keys.shape[0]))
-    hi = jnp.broadcast_to(jnp.max(jnp.where(valid[None, :], keys,
-                                            jnp.int32(-2**31 + 1)), -1)[None, :],
-                          (2, keys.shape[0]))          # (2, C)
-
-    def body(_, carry):
-        lo, hi = carry
-        # overflow-safe floor((lo+hi)/2)
-        mid = (lo >> 1) + (hi >> 1) + (lo & hi & 1)
-        cnt_le = jnp.sum(keys[None, :, :] <= mid[:, :, None], axis=-1)
-        take_hi = cnt_le >= ranks[:, None] + 1
-        return (jnp.where(take_hi, lo, mid + 1),
-                jnp.where(take_hi, mid, hi))
-
-    lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
-    vals = _f32_from_key(lo)                           # (2, C)
-    return (vals[0] + vals[1]) / 2.0
+    big = jnp.where(mask[None, :] > 0, x.T, jnp.inf)   # (C, N)
+    v = jnp.sort(big, axis=-1)
+    cnt = jnp.maximum(jnp.sum((mask > 0).astype(jnp.int32)), 1)
+    lo = (cnt - 1) // 2
+    hi = cnt // 2
+    return (v[:, lo] + v[:, hi]) / 2.0
 
 
 def _joint_ransac(key, src0, tgt0, m0, src1, tgt1, m1, jt_axis, cfg: PoseFitConfig,

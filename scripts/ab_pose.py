@@ -60,70 +60,12 @@ def main():
             dt = (time.perf_counter() - t0) / args.iters
             print(f"{name:<36s} run{run} {dt*1e3:9.3f} ms/iter", flush=True)
 
+    # measurement-floor control: a single fused op at batch scale
+    timed("floor control (P + 1.0 sum)",
+          lambda x: jnp.sum(x + 1.0), P)
+
     timed("fit_frame_batch (full)",
           lambda p, x: fit_frame_batch(p, x, key, cfg), pred, P)
-
-    # pieces at pipeline shapes
-    W = pred["W"]
-    timed("partition (butterfly)",
-          lambda w: jax.vmap(lambda x: pl.partition_by_class(
-              jnp.argmax(x, -1), K))(w), W)
-
-    def partition_topk(cls, n_parts):
-        Np = cls.shape[0]
-        iota = jnp.arange(Np, dtype=jnp.int32)
-
-        def one(j):
-            member = cls == j
-            keyo = jnp.where(member, -iota, -(Np + iota))
-            order = -jax.lax.top_k(keyo, Np)[0]
-            order = jnp.where(order >= Np, order - Np, order)
-            return order, jnp.sum(member.astype(jnp.int32))
-
-        return jax.vmap(one)(jnp.arange(n_parts))
-
-    timed("partition (top_k, old)",
-          lambda w: jax.vmap(lambda x: partition_topk(
-              jnp.argmax(x, -1), K))(w), W)
-
-    axis = pred["joint_axis_per_point"]
-    mask = jnp.asarray(rng.rand(B, N) < 0.5, jnp.float32)
-    timed("median (bisect)",
-          lambda s, m: jax.vmap(pl.masked_median)(s, m), axis, mask)
-
-    def median_sort(x, m):
-        big = jnp.where(m[None, :] > 0, x.T, jnp.inf)
-        v = jnp.sort(big, axis=-1)
-        cnt = jnp.maximum(jnp.sum((m > 0).astype(jnp.int32)), 1)
-        return (v[:, (cnt - 1) // 2] + v[:, cnt // 2]) / 2.0
-
-    timed("median (sort, old)",
-          lambda s, m: jax.vmap(median_sort)(s, m), axis, mask)
-
-    from articulated_pose_tpu.pose import umeyama
-    src = jnp.asarray(rng.rand(B, N, 3), jnp.float32)
-    tgt = jnp.asarray(rng.rand(B, N, 3), jnp.float32)
-    timed("pairwise_scale (stacked)",
-          lambda s, t, m: jax.vmap(umeyama.pairwise_scale)(s, t, m),
-          src, tgt, mask)
-
-    def pairwise_seq(source, target, w):
-        Np = source.shape[0]
-        strides = [max(1, (k * Np) // 33) for k in range(1, 17)]
-        num = jnp.zeros((), jnp.float32)
-        den = jnp.zeros((), jnp.float32)
-        for k in strides:
-            ds = source - jnp.roll(source, k, axis=0)
-            dt = target - jnp.roll(target, k, axis=0)
-            a = jnp.sqrt(jnp.maximum(jnp.sum(ds * ds, -1), 0.0))
-            b = jnp.sqrt(jnp.maximum(jnp.sum(dt * dt, -1), 0.0))
-            ww = w * jnp.roll(w, k, axis=0)
-            num = num + jnp.sum(ww * a * b)
-            den = den + jnp.sum(ww * a * a)
-        return num / (den + 1e-6)
-
-    timed("pairwise_scale (seq, old)",
-          lambda s, t, m: jax.vmap(pairwise_seq)(s, t, m), src, tgt, mask)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,92 @@
+"""Ablation timing of fit_frame_batch: disable pieces to attribute cost.
+
+All variants compile in one process and run 64-iteration scan windows
+(~0.5 ms/iter harness floor), so differences are real work.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--points", type=int, default=2048)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from articulated_pose_tpu.pose.pipeline import PoseFitConfig, fit_frame_batch
+
+    B, N, K = args.batch, args.points, 3
+    rng = np.random.RandomState(0)
+    P = jnp.asarray(rng.rand(B, N, 3), jnp.float32)
+    pred = {
+        "W": jnp.asarray(rng.rand(B, N, K), jnp.float32),
+        "nocs_per_point": jnp.asarray(rng.rand(B, N, 3 * K), jnp.float32),
+        "joint_axis_per_point": jnp.asarray(rng.rand(B, N, 3), jnp.float32),
+        "index_per_point": jnp.asarray(rng.rand(B, N, K), jnp.float32),
+    }
+    pred_nojoint = {k: v for k, v in pred.items()
+                    if k in ("W", "nocs_per_point")}
+    key = jax.random.PRNGKey(0)
+
+    def timed(name, fn, *xs):
+        @jax.jit
+        def window(*xs):
+            def body(acc, _):
+                eps = 1e-30 * acc
+                xs_i = jax.tree.map(
+                    lambda a: a + eps.astype(a.dtype)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a, xs)
+                out = fn(*xs_i)
+                return acc + sum(jnp.sum(l.astype(jnp.float32))
+                                 for l in jax.tree.leaves(out)
+                                 if l is not None), None
+            acc, _ = jax.lax.scan(body, jnp.ones((), jnp.float32), None,
+                                  length=args.iters)
+            return acc
+        _ = float(window(*xs))
+        t0 = time.perf_counter()
+        _ = float(window(*xs))
+        dt = (time.perf_counter() - t0) / args.iters
+        print(f"{name:<44s} {dt*1e3:9.3f} ms/iter", flush=True)
+
+    def cfg(**kw):
+        base = dict(n_parts=K, niter_part=1024, niter_joint=128,
+                    joint_types=("revolute", "revolute"),
+                    lm_iters_hypo=8, lm_iters_refit=15,
+                    ransac_chunk=None, lm_refit_points=512)
+        base.update(kw)
+        return PoseFitConfig(**base)
+
+    timed("full (1024 part, 128 joint, 15 refit)",
+          lambda p, x: fit_frame_batch(p, x, key, cfg()), pred, P)
+    timed("baseline only (no joint stage)",
+          lambda p, x: fit_frame_batch(p, x, key, cfg()), pred_nojoint, P)
+    timed("niter_part=1 (no part scoring)",
+          lambda p, x: fit_frame_batch(p, x, key, cfg(niter_part=1)),
+          pred, P)
+    timed("niter_joint=1 (no joint hypo)",
+          lambda p, x: fit_frame_batch(p, x, key, cfg(niter_joint=1)),
+          pred, P)
+    timed("lm_iters_refit=1",
+          lambda p, x: fit_frame_batch(p, x, key, cfg(lm_iters_refit=1)),
+          pred, P)
+    timed("lm_refit_points=128",
+          lambda p, x: fit_frame_batch(p, x, key, cfg(lm_refit_points=128)),
+          pred, P)
+    timed("joint hypo: lm estimator (vs alternating)",
+          lambda p, x: fit_frame_batch(p, x, key,
+                                       cfg(hypo_estimator="lm")), pred, P)
+
+
+if __name__ == "__main__":
+    main()

@@ -10,7 +10,11 @@ import os
 # (tunneled TPU) platform, so env vars alone are too late — use
 # jax.config.  XLA_FLAGS still works because backends are not
 # initialized until first device access.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# RUN_TPU=1 keeps the real backend so tests/test_pallas_tpu.py (the
+# real-chip kernel parity tier) can execute on the tunnel device:
+#   RUN_TPU=1 pytest tests/test_pallas_tpu.py
+if not os.environ.get("RUN_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,7 +23,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("RUN_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
