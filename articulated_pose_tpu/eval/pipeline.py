@@ -49,6 +49,33 @@ class EvalReport:
         return "\n".join(lines)
 
 
+def _umeyama_np(source: np.ndarray, target: np.ndarray):
+    """Pure-NumPy Umeyama similarity (aligning.py:580-622 semantics).
+
+    Identical math to umeyama.umeyama_similarity, but NumPy: the eval
+    loop calls this per part per frame, and eager (unjitted) jnp
+    dispatch measured ~14 ms/call on host — ~29 ms/frame of pure
+    overhead at dataset scale (scripts/profile_eval_scale.py) — vs ~30
+    µs for the same 3×3 SVD in NumPy.
+    """
+    mu_s = source.mean(axis=0)
+    mu_t = target.mean(axis=0)
+    sc = source - mu_s
+    tc = target - mu_t
+    n = source.shape[0]
+    cov = tc.T @ sc / n
+    var_s = (sc * sc).sum() / n
+    U, D, Vh = np.linalg.svd(cov)
+    det = np.linalg.det(U) * np.linalg.det(Vh)
+    if det < 0.0:
+        U[:, -1] *= -1.0
+        D[-1] *= -1.0
+    R = U @ Vh
+    s = D.sum() / max(var_s, 1e-9)
+    t = mu_t - s * (R @ mu_s)
+    return R, s, t
+
+
 def compute_gt_poses(nocs_gt: np.ndarray, P: np.ndarray, cls: np.ndarray,
                      n_parts: int):
     """Per-part Umeyama similarity from GT NOCS to input points.
@@ -56,16 +83,14 @@ def compute_gt_poses(nocs_gt: np.ndarray, P: np.ndarray, cls: np.ndarray,
     nocs_gt/P (N, 3), cls (N,) -> list of dicts with R, s, t per part
     (None for parts with <5 points — the reference crashes there).
     """
-    import jax.numpy as jnp
-
     out = []
     for j in range(n_parts):
         sel = cls == j
         if sel.sum() < 5:
             out.append(None)
             continue
-        R, s, t = umeyama.umeyama_similarity(
-            jnp.asarray(nocs_gt[sel]), jnp.asarray(P[sel]))
+        R, s, t = _umeyama_np(nocs_gt[sel].astype(np.float64),
+                              P[sel].astype(np.float64))
         out.append({"R": np.asarray(R), "s": float(s), "t": np.asarray(t)})
     return out
 
