@@ -39,8 +39,14 @@ from articulated_pose_tpu.pose.ransac import masked_sample_indices, ransac_simil
 @dataclasses.dataclass(frozen=True)
 class PoseFitConfig:
     n_parts: int = 3
-    niter_part: int = 2048        # reference: 10000 serial iters (:262)
-    niter_joint: int = 256        # reference: 200 (:288)
+    # Hypothesis counts: the reference runs 10000 serial CPU iters (:262)
+    # / 200 joint iters (:288).  Batched 3-point RANSAC saturates far
+    # earlier: accuracy is FLAT from 2048 down to 128 hypotheses even at
+    # 30% segmentation flips + 0.06 NOCS noise (well beyond trained-model
+    # error; scripts/ab_ransac_strength.py, docs/perf_round3.md), because
+    # the full-point inlier refit absorbs hypothesis-ranking variance.
+    niter_part: int = 512
+    niter_joint: int = 128
     inlier_th: float = 0.1        # reference choose_threshold
     lm_iters_hypo: int = 10
     lm_iters_refit: int = 20

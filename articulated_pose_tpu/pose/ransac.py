@@ -104,16 +104,24 @@ def hypothesis_inlier_counts(Rs: jax.Array, ss: jax.Array, ts: jax.Array,
         ts,
         (ss * ss)[:, None],
     ], axis=-1)                                                # (H, 16)
+    row = jnp.sum(ts * ts, -1)                                 # (H,)
+    col = jnp.sum(target * target, -1)                         # (P,)
+    # NOTE: a Pallas matmul+threshold+count kernel for this contraction
+    # was built and A/B'd — it measured 3.3× WORSE end to end (115.7 vs
+    # 34.7 ms pose fit at B=64, H=1024, P=2048 on v5e): XLA already
+    # fuses the threshold+count into the einsum consumer, and the K=16
+    # contraction at HIGHEST precision wastes the MXU either way.  The
+    # einsum stays (docs/perf_round3.md).
     res2 = (jnp.einsum("hk,pk->hp", A, Bmat,
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
-            + jnp.sum(ts * ts, -1)[:, None]
-            + jnp.sum(target * target, -1)[None, :])
+            + row[:, None] + col[None, :])
     inl = (res2 < inlier_th * inlier_th) & maskf[None]
     return jnp.sum(inl, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("niter", "chunk", "compact_mask"))
+@functools.partial(jax.jit, static_argnames=("niter", "inlier_th", "chunk",
+                                             "compact_mask"))
 def ransac_similarity(key: jax.Array, source: jax.Array, target: jax.Array,
                       mask: jax.Array, *, niter: int = 2048,
                       inlier_th: float = 0.1,

@@ -59,9 +59,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--points", type=int, default=2048)
-    ap.add_argument("--iters", type=int, default=32,
-                    help="iterations fused into one scan window")
-    ap.add_argument("--niter-part", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=64,
+                    help="iterations fused into one scan window (the window's"
+                         " one-scalar D2H fetch costs ~30 ms through the axon"
+                         " tunnel, ~0.5 ms/iter at 64 iters)")
+    ap.add_argument("--niter-part", type=int, default=512)
     ap.add_argument("--niter-joint", type=int, default=128)
     ap.add_argument("--impl", choices=["xla", "pallas"], default="pallas",
                     help="FPS kernel tier (pallas = TPU native; falls back"
@@ -162,8 +164,11 @@ def main():
         "chip_bf16_tflops_measured": round(tflops, 2),
         "fwd_flops_utilization": round(mxu_util, 4),
         "note": ("single-dispatch lax.scan window (tunnel latency amortized); "
-                 "dev chip delivers the reported TFLOPs vs ~459 for a v5p "
-                 "chip — compute-bound throughput scales accordingly"),
+                 "dev chip measures the reported bf16 TFLOPs vs ~197 peak "
+                 "production v5e / ~459 v5p. The pipeline is selection/"
+                 "gather-bound (VPU+VMEM), not MXU-bound, so throughput "
+                 "scales with vector/memory bandwidth across chips, not "
+                 "peak matmul TFLOPs"),
     }))
 
 

@@ -1,0 +1,100 @@
+"""Accuracy A/B: pose-fit quality vs RANSAC hypothesis count.
+
+Builds noisy-oracle predictions (GT labels + calibrated noise matching a
+trained model's error profile: NOCS jitter, segmentation flips, axis
+jitter) on synthetic frames with exact GT poses, then fits with several
+PoseFitConfig strengths and reports rot/trans/5°5cm per config.  Run on
+CPU; the decision feeds PoseFitConfig defaults (a weaker-but-equal
+config is free throughput).
+
+JAX_PLATFORMS=cpu python scripts/ab_ransac_strength.py --frames 64
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=64)
+    ap.add_argument("--points", type=int, default=2048)
+    ap.add_argument("--nocs_noise", type=float, default=0.02)
+    ap.add_argument("--seg_flip", type=float, default=0.05)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from articulated_pose_tpu.data.synthetic import SyntheticArticulated
+    from articulated_pose_tpu.pose.pipeline import PoseFitConfig, fit_frame_batch
+    from articulated_pose_tpu.utils import transforms as tr
+
+    K = 3
+    gen = SyntheticArticulated(n_parts=K, points_per_part=400,
+                               joint_types=("revolute", "revolute"), seed=3)
+    rng = np.random.RandomState(1)
+    frames, gts = [], []
+    for _ in range(args.frames):
+        s, g = gen.frame(rng, num_points=args.points, n_max_parts=K)
+        frames.append(s)
+        gts.append(g)
+
+    # noisy-oracle predictions
+    preds = {"W": [], "nocs_per_point": [], "joint_axis_per_point": [],
+             "index_per_point": []}
+    for s in frames:
+        N = s["P"].shape[0]
+        cls = s["cls_gt"].astype(int)
+        flip = rng.rand(N) < args.seg_flip
+        cls_noisy = np.where(flip, rng.randint(0, K, N), cls)
+        W = np.eye(K, dtype=np.float32)[cls_noisy]
+        nocs = np.zeros((N, 3 * K), np.float32)
+        for j in range(K):
+            sel = cls_noisy == j
+            nocs[sel, 3 * j:3 * (j + 1)] = (
+                s["nocs_gt"][sel] + args.nocs_noise * rng.randn(sel.sum(), 3))
+        axis = (s["orient_gt"] + 0.05 * rng.randn(N, 3)).astype(np.float32)
+        index = np.eye(K, dtype=np.float32)[s["joint_cls_gt"].astype(int) % K]
+        preds["W"].append(W)
+        preds["nocs_per_point"].append(nocs.astype(np.float32))
+        preds["joint_axis_per_point"].append(axis)
+        preds["index_per_point"].append(index)
+    pred = {k: jnp.asarray(np.stack(v)) for k, v in preds.items()}
+    P = jnp.asarray(np.stack([s["P"] for s in frames]))
+    key = jax.random.PRNGKey(0)
+
+    def evaluate(cfg, tag):
+        out = jax.device_get(fit_frame_batch(pred, P, key, cfg))
+        rots, trans, acc = [], [], []
+        for i, g in enumerate(gts):
+            for j in range(K):
+                s_, R_, t_ = tr.decompose_similarity(g.rt_nocs2cam[j])
+                Rp = out["nonlinear_R"][i, j]
+                tp = out["nonlinear_t"][i, j]
+                if not np.all(np.isfinite(Rp)):
+                    continue
+                r = tr.rot_diff_degree(Rp, R_)
+                d = float(np.linalg.norm(tp - t_))
+                rots.append(r)
+                trans.append(d)
+                acc.append(float(r < 5 and d < 0.05))
+        print(f"{tag:<44s} rot {np.mean(rots):6.2f}°  med {np.median(rots):5.2f}°"
+              f"  trans {np.mean(trans):7.4f}  5°5cm {np.mean(acc):.3f}",
+              flush=True)
+
+    base = dict(n_parts=K, joint_types=("revolute", "revolute"),
+                lm_iters_hypo=8, lm_iters_refit=15, ransac_chunk=None,
+                lm_refit_points=512)
+    for niter_part, niter_joint in [(2048, 256), (1024, 128), (512, 128),
+                                    (256, 64), (128, 64)]:
+        evaluate(PoseFitConfig(niter_part=niter_part,
+                               niter_joint=niter_joint, **base),
+                 f"niter_part={niter_part} niter_joint={niter_joint}")
+
+
+if __name__ == "__main__":
+    main()
