@@ -40,7 +40,8 @@ def resolve_impl(impl: str) -> str:
 def sample_and_group(npoint: int, radius: float, nsample: int,
                      xyz: jax.Array, points: Optional[jax.Array],
                      knn: bool = False, use_xyz: bool = True,
-                     fps_impl: str = "xla", ball_query_impl: str = "xla"):
+                     fps_impl: str = "xla", ball_query_impl: str = "xla",
+                     precomputed_fps=None):
     """FPS → gather → ball-query/knn → group → center-normalize.
 
     Mirrors pointnet_util.py:29-63. xyz (B, N, 3), points (B, N, C) or None.
@@ -50,13 +51,18 @@ def sample_and_group(npoint: int, radius: float, nsample: int,
     ball_query_impl: 'xla' | 'pallas' (full-N VMEM kernel) | 'stream'
     (blockwise-N kernel for large clouds, ops/pallas/ball_query_stream.py).
     """
-    if resolve_impl(fps_impl) == "pallas":
+    if precomputed_fps is not None:
+        # both FPS levels came from the fused two-level kernel
+        # (ops/pallas/fps.py::farthest_point_sample2_pallas)
+        fps_idx, new_xyz = precomputed_fps
+    elif resolve_impl(fps_impl) == "pallas":
         from articulated_pose_tpu.ops.pallas import farthest_point_sample_pallas
 
         fps_idx = farthest_point_sample_pallas(npoint, xyz)
+        new_xyz = ops.gather_point(xyz, fps_idx)                # (B, M, 3)
     else:
         fps_idx = ops.farthest_point_sample(npoint, xyz)
-    new_xyz = ops.gather_point(xyz, fps_idx)                    # (B, M, 3)
+        new_xyz = ops.gather_point(xyz, fps_idx)                # (B, M, 3)
     grouped_xyz = None
     idx = None
     if knn:
@@ -125,7 +131,8 @@ class SetAbstraction(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, xyz, points, *, train: bool = False, bn_momentum=0.9):
+    def __call__(self, xyz, points, *, train: bool = False, bn_momentum=0.9,
+                 precomputed_fps=None):
         if self.group_all:
             new_xyz, new_points, idx, grouped_xyz = sample_and_group_all(
                 xyz, points, self.use_xyz)
@@ -133,7 +140,8 @@ class SetAbstraction(nn.Module):
             new_xyz, new_points, idx, grouped_xyz = sample_and_group(
                 self.npoint, self.radius, self.nsample, xyz, points,
                 self.knn, self.use_xyz, fps_impl=self.fps_impl,
-                ball_query_impl=self.ball_query_impl)
+                ball_query_impl=self.ball_query_impl,
+                precomputed_fps=precomputed_fps)
 
         new_points = SharedMLP(self.mlp, dtype=self.dtype, name="mlp")(
             new_points, train=train, bn_momentum=bn_momentum)   # (B, M, S, C)
@@ -215,6 +223,20 @@ class PointNet2Backbone(nn.Module):
         l_xyz = [X[..., :3].astype(jnp.float32)]
         l_pts = [X[..., 3:] if X.shape[-1] > 3 else None]
 
+        # Both FPS levels in ONE Pallas kernel when the spec has the
+        # standard two-stage pyramid: the np1 subset stays VMEM-resident
+        # between levels and the inter-level gather disappears
+        # (ops/pallas/fps.py::farthest_point_sample2_pallas).
+        pre = [None] * len(s.sa_npoints)
+        if (resolve_impl(s.fps_impl) == "pallas"
+                and len(s.sa_npoints) == 2):
+            from articulated_pose_tpu.ops.pallas import \
+                farthest_point_sample2_pallas
+
+            i1, x1, i2, x2 = farthest_point_sample2_pallas(
+                s.sa_npoints[0], s.sa_npoints[1], l_xyz[0])
+            pre = [(i1, x1), (i2, x2)]
+
         # Set abstraction pyramid
         for i in range(len(s.sa_npoints)):
             xyz, pts, _ = SetAbstraction(
@@ -222,7 +244,8 @@ class PointNet2Backbone(nn.Module):
                 nsample=s.sa_nsamples[i], mlp=s.sa_mlps[i],
                 fps_impl=s.fps_impl, ball_query_impl=s.ball_query_impl,
                 dtype=self.dtype, name=f"sa{i + 1}",
-            )(l_xyz[-1], l_pts[-1], train=train, bn_momentum=bn_momentum)
+            )(l_xyz[-1], l_pts[-1], train=train, bn_momentum=bn_momentum,
+              precomputed_fps=pre[i])
             l_xyz.append(xyz)
             l_pts.append(pts)
 

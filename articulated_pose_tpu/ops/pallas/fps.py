@@ -112,3 +112,142 @@ def farthest_point_sample_pallas(npoint: int, xyz: jax.Array,
         interpret=interpret,
     )(planes)
     return out[:B]
+
+
+def _fps2_kernel(np1: int, np2: int, n_valid: int, xyz_ref,
+                 idx1_ref, xyz1_ref, idx2_ref, xyz2_ref):
+    """Two FPS levels in one kernel: N -> np1 -> np2.
+
+    Phase 1 runs the standard recurrence AND captures each pick's
+    coordinates into VMEM (BB, np1) planes; phase 2 then runs the same
+    recurrence directly on those planes — the intermediate cloud never
+    leaves VMEM and the host-side gather_point between levels
+    disappears.  idx2 indexes into the np1-subset (the same local
+    indexing the backbone's second SA stage uses).
+    """
+    x = xyz_ref[:, 0, :]
+    y = xyz_ref[:, 1, :]
+    z = xyz_ref[:, 2, :]
+    BB, N = x.shape
+    lane = lax.broadcasted_iota(jnp.int32, (BB, N), 1)
+    valid = lane < n_valid
+    col1 = lax.broadcasted_iota(jnp.int32, (BB, np1), 1)
+
+    def extract(xs, onehot):
+        return [jnp.sum(v * onehot, axis=-1, keepdims=True) for v in xs]
+
+    def body1(j, carry):
+        mind, last, picks, sel = carry
+        onehot = (lane == last[:, None]).astype(x.dtype)
+        lx, ly, lz = extract((x, y, z), onehot)
+        # store pick j-1's coords at column j-1
+        at = col1 == (j - 1)
+        sel = [jnp.where(at, c, s) for s, c in zip(sel, (lx, ly, lz))]
+        d = (x - lx) ** 2 + (y - ly) ** 2 + (z - lz) ** 2
+        mind = jnp.minimum(mind, d)
+        masked = jnp.where(valid, mind, -1.0)
+        best = jnp.max(masked, axis=-1, keepdims=True)
+        nxt = jnp.min(jnp.where(masked == best, lane, jnp.int32(2**30)),
+                      axis=-1).astype(jnp.int32)
+        picks = jnp.where(col1 == j, nxt[:, None], picks)
+        return mind, nxt, picks, sel
+
+    zero1 = jnp.zeros((BB, np1), x.dtype)
+    init = (jnp.full((BB, N), 1e38, x.dtype), jnp.zeros((BB,), jnp.int32),
+            jnp.zeros((BB, np1), jnp.int32), [zero1, zero1, zero1])
+    mind, last, picks1, sel = lax.fori_loop(1, np1, body1, init)
+    # final pick's coords
+    onehot = (lane == last[:, None]).astype(x.dtype)
+    lx, ly, lz = extract((x, y, z), onehot)
+    at = col1 == (np1 - 1)
+    sx, sy, sz = [jnp.where(at, c, s) for s, c in zip(sel, (lx, ly, lz))]
+
+    idx1_ref[:, :] = picks1
+    xyz1_ref[:, 0, :] = sx
+    xyz1_ref[:, 1, :] = sy
+    xyz1_ref[:, 2, :] = sz
+
+    # ---- phase 2 on the VMEM-resident subset --------------------------
+    lane2 = lax.broadcasted_iota(jnp.int32, (BB, np1), 1)
+    col2 = lax.broadcasted_iota(jnp.int32, (BB, np2), 1)
+
+    def body2(j, carry):
+        mind, last, picks, sel = carry
+        onehot = (lane2 == last[:, None]).astype(x.dtype)
+        lx, ly, lz = extract((sx, sy, sz), onehot)
+        at = col2 == (j - 1)
+        sel = [jnp.where(at, c, s) for s, c in zip(sel, (lx, ly, lz))]
+        d = (sx - lx) ** 2 + (sy - ly) ** 2 + (sz - lz) ** 2
+        mind = jnp.minimum(mind, d)
+        best = jnp.max(mind, axis=-1, keepdims=True)
+        nxt = jnp.min(jnp.where(mind == best, lane2, jnp.int32(2**30)),
+                      axis=-1).astype(jnp.int32)
+        picks = jnp.where(col2 == j, nxt[:, None], picks)
+        return mind, nxt, picks, sel
+
+    zero2 = jnp.zeros((BB, np2), x.dtype)
+    init2 = (jnp.full((BB, np1), 1e38, x.dtype), jnp.zeros((BB,), jnp.int32),
+             jnp.zeros((BB, np2), jnp.int32), [zero2, zero2, zero2])
+    mind2, last2, picks2, sel2 = lax.fori_loop(1, np2, body2, init2)
+    onehot = (lane2 == last2[:, None]).astype(x.dtype)
+    lx, ly, lz = extract((sx, sy, sz), onehot)
+    at = col2 == (np2 - 1)
+    s2 = [jnp.where(at, c, s) for s, c in zip(sel2, (lx, ly, lz))]
+
+    idx2_ref[:, :] = picks2
+    xyz2_ref[:, 0, :] = s2[0]
+    xyz2_ref[:, 1, :] = s2[1]
+    xyz2_ref[:, 2, :] = s2[2]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 3, 4))
+def farthest_point_sample2_pallas(np1: int, np2: int, xyz: jax.Array,
+                                  block_b: int = 0,
+                                  interpret: bool = False):
+    """Fused two-level FPS: xyz (B, N, 3) ->
+    (idx1 (B, np1) i32, xyz1 (B, np1, 3), idx2 (B, np2) i32 — LOCAL
+    indices into the np1 subset — and xyz2 (B, np2, 3)).
+
+    Semantics match farthest_point_sample_pallas applied twice with a
+    gather in between (the backbone's SA1 -> SA2 pattern); the subset
+    stays VMEM-resident between the levels and the coordinate gathers
+    ride the pick loop's existing one-hot extraction.
+    """
+    B, N, _ = xyz.shape
+    n_pad = -(-N // 128) * 128
+    if block_b <= 0:
+        budget = 8 * 2**20
+        block_b = max(1, min(64, budget // (6 * n_pad * 4)))
+    planes = jnp.transpose(xyz.astype(jnp.float32), (0, 2, 1))  # (B, 3, N)
+    if n_pad != N:
+        planes = jnp.pad(planes, ((0, 0), (0, 0), (0, n_pad - N)))
+    bb = min(block_b, B)
+    b_pad = -(-B // bb) * bb
+    if b_pad != B:
+        planes = jnp.pad(planes, ((0, b_pad - B), (0, 0), (0, 0)))
+
+    idx1, xyz1, idx2, xyz2 = pl.pallas_call(
+        functools.partial(_fps2_kernel, np1, np2, N),
+        grid=(b_pad // bb,),
+        in_specs=[pl.BlockSpec((bb, 3, n_pad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((bb, np1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 3, np1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, np2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 3, np2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b_pad, np1), jnp.int32),
+            jax.ShapeDtypeStruct((b_pad, 3, np1), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, np2), jnp.int32),
+            jax.ShapeDtypeStruct((b_pad, 3, np2), jnp.float32),
+        ),
+        interpret=interpret,
+    )(planes)
+    return (idx1[:B], jnp.transpose(xyz1, (0, 2, 1))[:B],
+            idx2[:B], jnp.transpose(xyz2, (0, 2, 1))[:B])

@@ -49,7 +49,15 @@ class PoseFitConfig:
     niter_joint: int = 128
     inlier_th: float = 0.1        # reference choose_threshold
     lm_iters_hypo: int = 10
-    lm_iters_refit: int = 20
+    # damped-GN refit iterations: accuracy-flat 15 -> 6 in the noise
+    # sweep (ab_ransac_strength; the full-point inlier refit starts from
+    # a near-optimal hypothesis); 10 keeps margin
+    lm_iters_refit: int = 10
+    # rank hypotheses on the first `ransac_score_points` valid points of
+    # each (valid-first) part buffer — exact whenever the part has that
+    # many points or fewer (typical parts hold ~N/K); the winning
+    # hypothesis's inlier set + refit always use all points
+    ransac_score_points: Optional[int] = 1024
     # 'alternating' (closed-form Kabsch sweeps, reference isalternate
     # branch) or 'lm' (full coupled LM per hypothesis, reference default
     # branch); the winning-inlier refit is always LM.
@@ -61,7 +69,9 @@ class PoseFitConfig:
     # cap on points fed to the final joint LM refit (None = all).  The
     # part buffers are valid-first, so a prefix slice keeps an in-order
     # subset of each part's points; inlier weights are sliced with them.
-    lm_refit_points: Optional[int] = None
+    # 512 was A/B'd accuracy-identical to full-N at the flagship shape
+    # (rot 4.60° / 5°5cm 0.859 both ways, docs/perf_round2.md).
+    lm_refit_points: Optional[int] = 512
 
 
 def partition_by_class(cls: jax.Array, n_parts: int):
@@ -137,14 +147,18 @@ def _joint_ransac(key, src0, tgt0, m0, src1, tgt1, m1, jt_axis, cfg: PoseFitConf
 
     # inlier COUNTS via the (H,16)@(16,P) matmul form (no (H,P,3)
     # intermediate); the best hypothesis's inlier SET is recomputed for
-    # that single h below
-    c0 = hypothesis_inlier_counts(fits.R0, fits.s0, fits.t0, src0, tgt0,
-                                  m0 > 0, cfg.inlier_th)
-    c1 = hypothesis_inlier_counts(fits.R1, fits.s1, fits.t1, src1, tgt1,
-                                  m1 > 0, cfg.inlier_th)
+    # that single h below.  Ranking uses the valid-first score prefix
+    # (see PoseFitConfig.ransac_score_points) — denominators use the
+    # same prefix so the mean-inlier-ratio comparison stays consistent.
+    sp = cfg.ransac_score_points
+    sp = sp if (sp is not None and sp < src0.shape[0]) else src0.shape[0]
+    c0 = hypothesis_inlier_counts(fits.R0, fits.s0, fits.t0, src0[:sp],
+                                  tgt0[:sp], m0[:sp] > 0, cfg.inlier_th)
+    c1 = hypothesis_inlier_counts(fits.R1, fits.s1, fits.t1, src1[:sp],
+                                  tgt1[:sp], m1[:sp] > 0, cfg.inlier_th)
     # mean inlier ratio over both parts (parallel_ancsh_pose.py:186-194)
-    frac0 = c0 / jnp.maximum(jnp.sum(m0), 1.0)
-    frac1 = c1 / jnp.maximum(jnp.sum(m1), 1.0)
+    frac0 = c0 / jnp.maximum(jnp.sum(m0[:sp]), 1.0)
+    frac1 = c1 / jnp.maximum(jnp.sum(m1[:sp]), 1.0)
     scores = (frac0 + frac1) / 2.0
     best = jnp.argmax(scores)
 
@@ -201,7 +215,8 @@ def fit_frame(pred: Dict[str, jax.Array], P: jax.Array, key: jax.Array,
     fits = jax.vmap(
         lambda k, s, t, m: ransac_similarity(
             k, s, t, m, niter=cfg.niter_part, inlier_th=cfg.inlier_th,
-            chunk=cfg.ransac_chunk, compact_mask=True))(
+            chunk=cfg.ransac_chunk, compact_mask=True,
+            score_points=cfg.ransac_score_points))(
         keys[:K], src_all, tgt_all, mask_all)
     base_R = [fits.R[j] for j in range(K)]
     base_s = [fits.s[j] for j in range(K)]

@@ -121,17 +121,25 @@ def hypothesis_inlier_counts(Rs: jax.Array, ss: jax.Array, ts: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("niter", "inlier_th", "chunk",
-                                             "compact_mask"))
+                                             "compact_mask", "score_points"))
 def ransac_similarity(key: jax.Array, source: jax.Array, target: jax.Array,
                       mask: jax.Array, *, niter: int = 2048,
                       inlier_th: float = 0.1,
                       chunk: Optional[int] = None,
-                      compact_mask: bool = False) -> SimilarityFit:
+                      compact_mask: bool = False,
+                      score_points: Optional[int] = None) -> SimilarityFit:
     """RANSAC similarity fit on masked padded buffers.
 
     source/target (P, 3) with mask (P,) ∈ {0,1}.  Returns the refit model
     on the best hypothesis's inliers.  `chunk` bounds the number of
     hypotheses scored at once (memory control for the (H, P) residual).
+
+    `score_points` (requires compact_mask/valid-first buffers): rank
+    hypotheses on the first `score_points` valid points only — EXACT
+    whenever the part has that many points or fewer (typical parts hold
+    ~N/K); beyond that, ranking uses a deterministic in-order subset.
+    The best hypothesis's inlier set and the refit always use ALL
+    points, so only the argmax over hypotheses can differ.
     """
     P = source.shape[0]
     idx = masked_sample_indices(key, mask, (niter, 3),
@@ -141,9 +149,15 @@ def ransac_similarity(key: jax.Array, source: jax.Array, target: jax.Array,
     Rs, ss, ts = jax.vmap(_fit_3pt)(src3, tgt3)                 # (H,3,3),(H,),(H,3)
 
     maskf = (mask > 0)
+    cap = score_points if (score_points is not None
+                           and compact_mask and score_points < P) else None
 
     def score_chunk(args):
         R, s, t = args
+        if cap is not None:
+            return hypothesis_inlier_counts(R, s, t, source[:cap],
+                                            target[:cap], maskf[:cap],
+                                            inlier_th)
         return hypothesis_inlier_counts(R, s, t, source, target, maskf,
                                         inlier_th)
 

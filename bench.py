@@ -77,6 +77,10 @@ def main():
                     help="three_nn tier (pallas fused kernel: 3.1 vs 4.3 ms"
                          " XLA at the FP1 shape)")
     ap.add_argument("--skip-pose", action="store_true")
+    ap.add_argument("--pose-random", action="store_true",
+                    help="diagnostic: feed the pose stage random tensors "
+                         "instead of the forward's outputs (still runs the "
+                         "forward) — isolates forward->pose coupling cost")
     args = ap.parse_args()
 
     import jax
@@ -115,8 +119,18 @@ def main():
                 "joint_axis_per_point": pred["joint_axis_per_point"],
                 "index_per_point": pred["index_per_point"],
             }
+            if args.pose_random:
+                kr = jax.random.fold_in(key, 7)
+                fwd_tag = sum(jnp.sum(l.astype(jnp.float32))
+                              for l in jax.tree.leaves(pose_pred))
+                pose_pred = {
+                    k: jax.random.uniform(jax.random.fold_in(kr, i),
+                                          v.shape, jnp.float32)
+                    for i, (k, v) in enumerate(sorted(pose_pred.items()))}
             fits = fit_frame_batch(pose_pred, Pi, key, pose_cfg)
             out = (fits["baseline_R"], fits.get("nonlinear_R"))
+            if args.pose_random:
+                out = out + (fwd_tag,)
         return sum(jnp.sum(l.astype(jnp.float32))
                    for l in jax.tree.leaves(out) if l is not None)
 

@@ -32,7 +32,7 @@ def main():
         "joint_axis_per_point": jnp.asarray(rng.rand(B, N, 3), jnp.float32),
         "index_per_point": jnp.asarray(rng.rand(B, N, K), jnp.float32),
     }
-    cfg = PoseFitConfig(n_parts=K, niter_part=1024, niter_joint=128,
+    cfg = PoseFitConfig(n_parts=K, niter_part=512, niter_joint=128,
                         joint_types=("revolute", "revolute"),
                         lm_iters_hypo=8, lm_iters_refit=15,
                         ransac_chunk=None, lm_refit_points=512)

@@ -94,6 +94,11 @@ def main():
         evaluate(PoseFitConfig(niter_part=niter_part,
                                niter_joint=niter_joint, **base),
                  f"niter_part={niter_part} niter_joint={niter_joint}")
+    for refit_iters in (15, 10, 6):
+        b = dict(base)
+        b["lm_iters_refit"] = refit_iters
+        evaluate(PoseFitConfig(niter_part=512, niter_joint=128, **b),
+                 f"lm_iters_refit={refit_iters} (512/128)")
 
 
 if __name__ == "__main__":

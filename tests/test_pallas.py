@@ -279,3 +279,20 @@ class TestFPSAutoBlock:
         xyz = jnp.zeros((1, 1 << 20, 3), jnp.float32)
         with pytest.raises(ValueError, match="VMEM"):
             farthest_point_sample_pallas(4, xyz, 0, True)
+
+
+class TestFusedTwoLevelFPS:
+    def test_matches_sequential(self, rng):
+        """fps2 == fps(np1) -> gather -> fps(np2) -> gather, exactly."""
+        from articulated_pose_tpu.ops.pallas import (
+            farthest_point_sample2_pallas, farthest_point_sample_pallas)
+        xyz = jnp.asarray(rng.rand(3, 512, 3), jnp.float32)
+        i1, x1, i2, x2 = farthest_point_sample2_pallas(128, 32, xyz, 0, True)
+        i1_ref = farthest_point_sample_pallas(128, xyz, 0, True)
+        x1_ref = core.gather_point(xyz, i1_ref)
+        i2_ref = farthest_point_sample_pallas(32, x1_ref, 0, True)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i1_ref))
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x1_ref))
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(i2_ref))
+        np.testing.assert_allclose(
+            np.asarray(x2), np.asarray(core.gather_point(x1_ref, i2_ref)))
