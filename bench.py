@@ -57,7 +57,10 @@ def measure_chip_tflops(jax, jnp):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=128,
+                    help="128 measured best post-round-3 optimizations "
+                         "(1555 vs 1303 clouds/s at 64; round-2's 64 optimum "
+                         "was pre-butterfly-kernel)")
     ap.add_argument("--points", type=int, default=2048)
     ap.add_argument("--iters", type=int, default=64,
                     help="iterations fused into one scan window (the window's"
@@ -100,13 +103,11 @@ def main():
     P = jnp.asarray(np.random.RandomState(0).rand(B, N, 3), jnp.float32)
     variables = model.init(rng, P)
 
+    # library defaults carry the accuracy-A/B'd settings (refit iters,
+    # refit-point cap, scoring prefix — see PoseFitConfig docstrings)
     pose_cfg = PoseFitConfig(
         n_parts=K, niter_part=args.niter_part, niter_joint=args.niter_joint,
-        joint_types=("revolute", "revolute"),
-        lm_iters_hypo=8, lm_iters_refit=15, ransac_chunk=None,
-        # halved-refit-points A/B was accuracy-identical (docs/dtype_ab.md
-        # protocol, docs/perf_round2.md): rot 4.60 deg / 5deg5cm 0.859 both
-        lm_refit_points=512)
+        joint_types=("revolute", "revolute"), ransac_chunk=None)
 
     def one_iter(variables, Pi, key):
         pred = model.apply(variables, Pi, train=False)
