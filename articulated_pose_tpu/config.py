@@ -79,8 +79,8 @@ class NetworkConfig:
     thres_r: float = 0.2               # joint-association radius (reference dataset.py:535)
 
     # --- pose fitting (reference parallel_ancsh_pose.py:262,288) --------------
-    ransac_niter_part: int = 512       # reference: 10000 serial CPU iters; flat accuracy >=128 (ab_ransac_strength)
-    ransac_niter_joint: int = 128      # reference: 200
+    ransac_niter_part: int = 128       # reference: 10000 serial CPU iters; flat accuracy >=128 (ab_ransac_strength)
+    ransac_niter_joint: int = 64       # reference: 200; flat >=64 in the same sweep
     ransac_inlier_th: float = 0.1
     lm_iters: int = 20
     use_gt_joint_association: bool = False   # reference evaluation/ uses GT assoc; we default honest

@@ -45,14 +45,22 @@ class PoseFitConfig:
     # 30% segmentation flips + 0.06 NOCS noise (well beyond trained-model
     # error; scripts/ab_ransac_strength.py, docs/perf_round3.md), because
     # the full-point inlier refit absorbs hypothesis-ranking variance.
-    niter_part: int = 512
-    niter_joint: int = 128
+    niter_part: int = 128
+    niter_joint: int = 64
     inlier_th: float = 0.1        # reference choose_threshold
     lm_iters_hypo: int = 10
     # damped-GN refit iterations: accuracy-flat 15 -> 6 in the noise
     # sweep (ab_ransac_strength; the full-point inlier refit starts from
-    # a near-optimal hypothesis); 10 keeps margin
-    lm_iters_refit: int = 10
+    # a near-optimal hypothesis)
+    lm_iters_refit: int = 6
+    # prefix cap on the valid-first per-part buffers (None = full N).
+    # partition_by_class compacts each part's members to the front in
+    # index order, so slicing to `part_points` keeps an in-order subset;
+    # EXACT whenever every part holds <= part_points points (typical
+    # parts hold ~N/K).  Cuts every downstream per-part cost (hypo
+    # sampling, residuals, refits) from N to the cap; accuracy-neutral
+    # in the noise sweep at the flagship shape (ab_ransac_strength).
+    part_points: Optional[int] = 1024
     # rank hypotheses on the first `ransac_score_points` valid points of
     # each (valid-first) part buffer — exact whenever the part has that
     # many points or fewer (typical parts hold ~N/K); the winning
@@ -196,15 +204,22 @@ def fit_frame(pred: Dict[str, jax.Array], P: jax.Array, key: jax.Array,
     N = P.shape[0]
     cls = jnp.argmax(pred["W"], axis=-1)
     orders, cnts = partition_by_class(cls, K)
-    iota = jnp.arange(N)
 
-    # stacked valid-first part buffers: one gather each instead of K
-    mask_all = (iota[None, :] < cnts[:, None]).astype(P.dtype)   # (K, N)
+    # stacked valid-first part buffers: one gather each instead of K.
+    # The buffers are sliced to the cfg.part_points prefix (exact for
+    # parts holding that many points or fewer; see the config docstring)
+    # so all downstream per-part work runs at the cap, not N.
+    cap = cfg.part_points
+    if cap is None or cap > N:
+        cap = N
+    orders_c = orders[:, :cap]
+    iota_c = jnp.arange(cap)
+    mask_all = (iota_c[None, :] < cnts[:, None]).astype(P.dtype)  # (K, cap)
     nocs_parts = jnp.transpose(
         pred["nocs_per_point"].reshape(N, K, 3), (1, 0, 2))      # (K, N, 3)
-    src_all = jnp.take_along_axis(nocs_parts, orders[:, :, None], axis=1)
+    src_all = jnp.take_along_axis(nocs_parts, orders_c[:, :, None], axis=1)
     src_all = src_all * mask_all[:, :, None]
-    tgt_all = P[orders] * mask_all[:, :, None]                   # (K, N, 3)
+    tgt_all = P[orders_c] * mask_all[:, :, None]                 # (K, cap, 3)
     srcs = [src_all[j] for j in range(K)]
     tgts = [tgt_all[j] for j in range(K)]
     masks = [mask_all[j] for j in range(K)]

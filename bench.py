@@ -57,17 +57,20 @@ def measure_chip_tflops(jax, jnp):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=128,
-                    help="128 measured best post-round-3 optimizations "
-                         "(1555 vs 1303 clouds/s at 64; round-2's 64 optimum "
-                         "was pre-butterfly-kernel)")
+    ap.add_argument("--batch", type=int, default=64,
+                    help="64 measured best in a PAIRED same-process sweep "
+                         "(scripts/ab_batch.py: 1811 vs 1603 clouds/s at 128; "
+                         "earlier cross-window readings that favored 128 were "
+                         "chip-drift artifacts)")
     ap.add_argument("--points", type=int, default=2048)
     ap.add_argument("--iters", type=int, default=64,
                     help="iterations fused into one scan window (the window's"
                          " one-scalar D2H fetch costs ~30 ms through the axon"
                          " tunnel, ~0.5 ms/iter at 64 iters)")
-    ap.add_argument("--niter-part", type=int, default=512)
-    ap.add_argument("--niter-joint", type=int, default=128)
+    ap.add_argument("--niter-part", type=int, default=128,
+                    help="accuracy-flat down to 128 even at 30%% seg flips "
+                         "(scripts/ab_ransac_strength.py)")
+    ap.add_argument("--niter-joint", type=int, default=64)
     ap.add_argument("--impl", choices=["xla", "pallas"], default="pallas",
                     help="FPS kernel tier (pallas = TPU native; falls back"
                          " to xla off-TPU)")

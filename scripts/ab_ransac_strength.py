@@ -100,6 +100,20 @@ def main():
         evaluate(PoseFitConfig(niter_part=512, niter_joint=128, **b),
                  f"lm_iters_refit={refit_iters} (512/128)")
 
+    # strongest config with NO part-buffer cap vs the production default
+    # (128/64, refit 6, part_points prefix cap)
+    strong = dict(base)
+    strong["part_points"] = None
+    evaluate(PoseFitConfig(niter_part=2048, niter_joint=256, **strong),
+             "STRONG 2048/256 refit15 no-cap")
+    prod = dict(base)
+    prod["lm_iters_refit"] = 6
+    for cap in (None, 1024, 768):
+        b = dict(prod)
+        b["part_points"] = cap
+        evaluate(PoseFitConfig(niter_part=128, niter_joint=64, **b),
+                 f"PROD 128/64 refit6 part_points={cap}")
+
 
 if __name__ == "__main__":
     main()
