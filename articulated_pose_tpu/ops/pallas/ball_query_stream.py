@@ -146,7 +146,10 @@ def query_ball_point_stream(radius: float, nsample: int, xyz: jax.Array,
 
     xyz (B, N, 3), new_xyz (B, M, 3) -> (idx (B, M, nsample) int32,
     cnt (B, M) int32).  VMEM working set is O(M · block_n), independent
-    of N.
+    of N.  `block_n` is an upper-bound hint: it is clamped so the
+    kernel's live (M, block_n) f32 intermediates (d², slot selection)
+    fit the ~16 MB scoped-VMEM stack (measured on v5e: 2 live planes at
+    M=512, block_n=4096 allocate 17.08 MB and are rejected).
     """
     B, N, _ = xyz.shape
     M = new_xyz.shape[1]
@@ -158,9 +161,14 @@ def query_ball_point_stream(radius: float, nsample: int, xyz: jax.Array,
             f"query_ball_point_stream: N={N} exceeds the f32 exact-integer "
             "index range (2^24); split the cloud or extend the kernel to "
             "carry i32 indices")
+    m_pad = -(-M // 128) * 128
+    # keep ~2 live (m_pad, block_n) f32 planes under the 16 MB scoped
+    # stack with margin (<= 12 MB)
+    max_elems = 1_500_000
+    if m_pad * block_n > max_elems:
+        block_n = max(128, (max_elems // m_pad) // 128 * 128)
     block_n = min(block_n, -(-N // 128) * 128)
     n_pad = -(-N // block_n) * block_n
-    m_pad = -(-M // 128) * 128
     x = _to_planes(xyz, n_pad, pad_value=1e9)
     q = _to_planes(new_xyz, m_pad)
     n_blocks = n_pad // block_n

@@ -23,7 +23,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--points", type=int, default=2048)
-    ap.add_argument("--iters", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=64,
+                    help="64 amortizes the ~30ms window-fetch floor "
+                         "(docs/perf_round3.md)")
     ap.add_argument("--impl", default="pallas")
     ap.add_argument("--stages", default=None,
                     help="comma list to restrict (names from the table)")
@@ -54,11 +56,10 @@ def main():
         pose_pred = {k: pred[k] for k in ("W", "nocs_per_point",
                                           "joint_axis_per_point",
                                           "index_per_point")}
+    # library defaults = bench.py's production settings (niter 128/64,
+    # refit 6, part_points cap, scoring prefix)
     pose_cfg = PoseFitConfig(
-        n_parts=K, niter_part=1024, niter_joint=128,
-        joint_types=("revolute", "revolute"),
-        lm_iters_hypo=8, lm_iters_refit=15, ransac_chunk=None,
-        lm_refit_points=512)  # mirror bench.py
+        n_parts=K, joint_types=("revolute", "revolute"), ransac_chunk=None)
 
     def timed(name, fn, *xs):
         """One-dispatch scan window over iters; returns ms/iter.
@@ -148,10 +149,12 @@ def main():
                                                         partition_by_class)
         from articulated_pose_tpu.pose.ransac import ransac_similarity
 
+        # per-part buffers run at the part_points cap inside fit_frame
+        Np = min(N, pose_cfg.part_points or N)
         W = jnp.asarray(rng.rand(B, N, K), jnp.float32)
-        src = jnp.asarray(rng.rand(B, N, 3), jnp.float32)
-        tgt = jnp.asarray(rng.rand(B, N, 3), jnp.float32)
-        mask = jnp.asarray(rng.rand(B, N) < 0.5, jnp.float32)
+        src = jnp.asarray(rng.rand(B, Np, 3), jnp.float32)
+        tgt = jnp.asarray(rng.rand(B, Np, 3), jnp.float32)
+        mask = jnp.asarray(rng.rand(B, Np) < 0.5, jnp.float32)
         axis = jnp.asarray([0.0, 0.0, 1.0])
         keyb = jax.random.split(jax.random.PRNGKey(0), B)
 
