@@ -42,6 +42,9 @@ class NetworkConfig:
     # accuracy-neutral for INFERENCE and used by bench/serving forwards.
     # A/B protocol + numbers: docs/dtype_ab.md.
     compute_dtype: str = "float32"
+    # output-head dtype override (None = compute_dtype): "float32" keeps
+    # head logits/gradients f32 under a bf16 trunk (docs/dtype_ab.md)
+    head_compute_dtype: Optional[str] = None
     use_pallas: bool = True            # Pallas FPS kernel when on TPU
 
     # --- losses (reference cfg/network_config.yml:12-22,64) -------------------

@@ -70,10 +70,15 @@ class ANCSHModel(nn.Module):
     early_split_nocs: bool = True
     backbone_spec: BackboneSpec = BackboneSpec()
     dtype: Dtype = jnp.float32
+    # dtype for the output heads (fc11/fc2 + JointHead); None = `dtype`.
+    # Lets a bf16 trunk keep f32 head logits — the mixed-precision
+    # recipe A/B'd in docs/dtype_ab.md for the bf16 training collapse.
+    head_dtype: Dtype = None
 
     @nn.compact
     def __call__(self, P, *, train: bool = False, bn_momentum=0.9) -> Dict[str, jax.Array]:
         K = self.n_max_parts
+        hdt = self.dtype if self.head_dtype is None else self.head_dtype
         feat = PointNet2Backbone(self.backbone_spec, dtype=self.dtype,
                                  name="backbone")(
             P, train=train, bn_momentum=bn_momentum)
@@ -89,9 +94,9 @@ class ANCSHModel(nn.Module):
             if self.early_split_nocs and idx == 1:
                 # private branch for part-NOCS (lib/architecture.py:110-113)
                 x = PointConv(128, use_bn=False, activation=None,
-                              dtype=self.dtype, name=f"fc11_{idx}")(x)
+                              dtype=hdt, name=f"fc11_{idx}")(x)
             logits = PointConv(d, use_bn=False, activation=None,
-                               dtype=self.dtype, name=f"fc2_{idx}")(x)
+                               dtype=hdt, name=f"fc2_{idx}")(x)
             results.append(logits.astype(jnp.float32))
 
         if self.mixed:
@@ -113,7 +118,7 @@ class ANCSHModel(nn.Module):
 
         if self.pred_joint:
             joint_axis, unitvec, heatmap, joint_cls = JointHead(
-                n_parts=K, dtype=self.dtype, name="joint_net")(
+                n_parts=K, dtype=hdt, name="joint_net")(
                 feat, train=train, bn_momentum=bn_momentum)
             pred.update({
                 "joint_axis_per_point": joint_axis,
@@ -152,4 +157,6 @@ def build_model(config) -> ANCSHModel:
                                    fps_impl=impl, ball_query_impl=impl,
                                    three_nn_impl=impl),
         dtype=jnp.dtype(config.compute_dtype),
+        head_dtype=(None if config.head_compute_dtype is None
+                    else jnp.dtype(config.head_compute_dtype)),
     )

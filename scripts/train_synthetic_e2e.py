@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="backbone compute dtype (A/B the MXU bf16 path)")
+    ap.add_argument("--head-dtype", default=None,
+                    choices=["float32", "bfloat16"],
+                    help="output-head dtype override (mixed-precision "
+                         "diagnosis: bf16 trunk + f32 heads)")
     args = ap.parse_args()
 
     import jax
@@ -71,7 +75,8 @@ def main():
                         batch_size=args.batch, init_learning_rate=args.lr,
                         decay_step=10**8, bn_decay_step=10**8,
                         val_interval=0, snapshot_interval=0,
-                        compute_dtype=args.dtype)
+                        compute_dtype=args.dtype,
+                        head_compute_dtype=args.head_dtype)
     gen = SyntheticArticulated(n_parts=K, points_per_part=500,
                                joint_types=joint_types, seed=0,
                                full_rotation=args.full_rotation)
