@@ -140,3 +140,23 @@ class TestANCSH:
         # heads emit f32 regardless of compute dtype
         assert pred["W"].dtype == jnp.float32
         assert jnp.isfinite(pred["nocs_per_point"]).all()
+
+    def test_head_dtype_override(self):
+        """bf16 trunk + f32 heads (the docs/dtype_ab.md mixed recipe):
+        same param tree as plain bf16, all-f32 params, finite heads, and
+        head logits that differ from the all-bf16 ones (f32 head Dense)."""
+        P = cloud()
+        kw = dict(n_max_parts=2, mixed=True, pred_joint=True,
+                  backbone_spec=TINY, dtype=jnp.bfloat16)
+        mixed = ANCSHModel(head_dtype=jnp.float32, **kw)
+        plain = ANCSHModel(**kw)
+        params = mixed.init(jax.random.PRNGKey(0), P)
+        assert jax.tree.all(jax.tree.map(
+            lambda a: a.dtype == jnp.float32, jax.tree.leaves(params)))
+        pred = mixed.apply(params, P)
+        assert pred["W"].dtype == jnp.float32
+        assert jnp.isfinite(pred["joint_axis_per_point"]).all()
+        # identical tree structure -> same checkpoint format either way
+        p2 = plain.init(jax.random.PRNGKey(0), P)
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(p2))

@@ -232,6 +232,33 @@ class TestPipeline:
             np.testing.assert_allclose(float(out["nonlinear_s"][j]), s_gt,
                                        rtol=0.05)
 
+    def test_part_points_cap_exact_when_parts_fit(self):
+        """part_points slices the valid-first buffers; when every part
+        holds <= cap points the capped fit must match the uncapped one
+        (same hypotheses, same refits) to fp-reduction tolerance."""
+        n_parts = 2
+        gen = SyntheticArticulated(n_parts=n_parts, points_per_part=200,
+                                   joint_types=("revolute",), seed=11)
+        sample, _ = gen.frame(np.random.RandomState(5), num_points=256)
+        pred = self._perfect_pred(sample, n_parts)
+        base = dict(n_parts=n_parts, niter_part=64, niter_joint=16,
+                    joint_types=("revolute",), lm_iters_hypo=5,
+                    lm_iters_refit=6, ransac_chunk=None)
+        P = jnp.asarray(sample["P"])
+        key = jax.random.PRNGKey(0)
+        full = pipeline.fit_frame(
+            pred, P, key, pipeline.PoseFitConfig(part_points=None, **base))
+        counts = np.asarray(full["part_counts"])
+        cap = 192
+        assert counts.max() <= cap, "fixture must keep parts under the cap"
+        capped = pipeline.fit_frame(
+            pred, P, key, pipeline.PoseFitConfig(part_points=cap, **base))
+        for k in ("baseline_R", "baseline_s", "baseline_t",
+                  "nonlinear_R", "nonlinear_s", "nonlinear_t"):
+            np.testing.assert_allclose(np.asarray(capped[k]),
+                                       np.asarray(full[k]),
+                                       atol=1e-5, err_msg=k)
+
     def test_partition_by_class(self):
         cls = jnp.asarray([1, 0, 1, 2, 0, 0])
         orders, cnts = pipeline.partition_by_class(cls, 3)
