@@ -46,6 +46,13 @@ class NetworkConfig:
     # head logits/gradients f32 under a bf16 trunk (docs/dtype_ab.md)
     head_compute_dtype: Optional[str] = None
     use_pallas: bool = True            # Pallas FPS kernel when on TPU
+    # packed butterfly ball query: coordinates ride the compaction
+    # network as ONE 10-bit-quantized i32 plane instead of three f32
+    # planes (SA1 4.96 -> 3.55 ms).  Grouped coords carry <= extent/2046
+    # absolute error (idx/cnt exact — parity-tested) — below the bf16
+    # rounding the inference trunk applies anyway; perf + bound evidence
+    # in docs/perf_round3.md.
+    ball_query_packed: bool = False
 
     # --- losses (reference cfg/network_config.yml:12-22,64) -------------------
     miou_loss_multiplier: float = 1.0

@@ -155,6 +155,7 @@ def build_model(config) -> ANCSHModel:
         early_split_nocs=config.early_split_nocs,
         backbone_spec=BackboneSpec(dropout_rate=config.dropout_rate,
                                    fps_impl=impl, ball_query_impl=impl,
+                                   ball_query_packed=config.ball_query_packed,
                                    three_nn_impl=impl),
         dtype=jnp.dtype(config.compute_dtype),
         head_dtype=(None if config.head_compute_dtype is None

@@ -41,7 +41,7 @@ def sample_and_group(npoint: int, radius: float, nsample: int,
                      xyz: jax.Array, points: Optional[jax.Array],
                      knn: bool = False, use_xyz: bool = True,
                      fps_impl: str = "xla", ball_query_impl: str = "xla",
-                     precomputed_fps=None):
+                     ball_query_packed: bool = False, precomputed_fps=None):
     """FPS → gather → ball-query/knn → group → center-normalize.
 
     Mirrors pointnet_util.py:29-63. xyz (B, N, 3), points (B, N, C) or None.
@@ -79,7 +79,7 @@ def sample_and_group(npoint: int, radius: float, nsample: int,
             # is only carried when a feature gather still needs it.
             grouped_xyz, _, idx = query_ball_group_pallas(
                 radius, nsample, xyz, new_xyz,
-                emit_idx=points is not None)
+                emit_idx=points is not None, packed=ball_query_packed)
         elif bq == "stream":
             from articulated_pose_tpu.ops.pallas import query_ball_point_stream
 
@@ -128,6 +128,7 @@ class SetAbstraction(nn.Module):
     use_xyz: bool = True
     fps_impl: str = "xla"
     ball_query_impl: str = "xla"
+    ball_query_packed: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -141,6 +142,7 @@ class SetAbstraction(nn.Module):
                 self.npoint, self.radius, self.nsample, xyz, points,
                 self.knn, self.use_xyz, fps_impl=self.fps_impl,
                 ball_query_impl=self.ball_query_impl,
+                ball_query_packed=self.ball_query_packed,
                 precomputed_fps=precomputed_fps)
 
         new_points = SharedMLP(self.mlp, dtype=self.dtype, name="mlp")(
@@ -205,6 +207,10 @@ class BackboneSpec:
     dropout_rate: float = 0.5
     fps_impl: str = "xla"        # 'xla' | 'pallas' (ops/pallas/fps.py)
     ball_query_impl: str = "xla"  # 'xla' | 'pallas' | 'stream'
+    # packed=True routes the butterfly kernel's coordinates as one
+    # 10-bit-quantized i32 plane (<= extent/2046 abs error on grouped
+    # coords, idx/cnt exact; ops/pallas/ball_query_butterfly.py)
+    ball_query_packed: bool = False
     three_nn_impl: str = "xla"    # 'xla' | 'pallas' (ops/pallas/three_nn.py)
 
 
@@ -243,6 +249,7 @@ class PointNet2Backbone(nn.Module):
                 npoint=s.sa_npoints[i], radius=s.sa_radii[i],
                 nsample=s.sa_nsamples[i], mlp=s.sa_mlps[i],
                 fps_impl=s.fps_impl, ball_query_impl=s.ball_query_impl,
+                ball_query_packed=s.ball_query_packed,
                 dtype=self.dtype, name=f"sa{i + 1}",
             )(l_xyz[-1], l_pts[-1], train=train, bn_momentum=bn_momentum,
               precomputed_fps=pre[i])

@@ -124,10 +124,117 @@ def _ballq_butterfly_kernel(radius: float, nsample: int, n_valid: int,
                                              fill).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5, 6))
+def _ballq_butterfly_packed_kernel(radius: float, nsample: int, n_valid: int,
+                                   emit_idx: bool, interpret: bool,
+                                   xyz_ref, q_ref, *out_refs):
+    """Packed variant: 2-3 planes ride the butterfly instead of 4-5.
+
+    The three coordinate planes collapse into ONE i32 plane carrying the
+    RAW point coordinates quantized per component to 10-bit fixed point
+    over the (masked) per-component cloud extent, packed 3-in-one.  The
+    query subtraction happens at extraction — exactly like the exact
+    kernel, which also routes pure broadcasts of pts and subtracts q at
+    the output.  That producer shape is load-bearing: every formulation
+    whose butterfly planes mixed in q (centered/quantized diffs, f32
+    bitcasts, lane|rem bit-packing on the control plane) either hung the
+    Mosaic pipeline (>6 min at this shape) or crashed it
+    (`Check failed: limits[i] <= dim(i)` in LoweringEmitter); broadcast
+    producers compile in seconds.  See docs/perf_round3.md.
+
+    Cost: grouped coordinates carry <= extent_c/2046 absolute
+    quantization error per component (round-to-nearest over the cloud's
+    bbox); idx and cnt stay exact.  For NOCS-normalized clouds
+    (extent ~1) that is ~5e-4 — the same order as the bf16 rounding the
+    downstream PointConv applies to these coordinates anyway.
+    """
+    pts = xyz_ref[0]                                   # (N, 3)
+    q = q_ref[0]                                       # (BM, 3)
+    N = pts.shape[0]
+    BM = q.shape[0]
+
+    inner = jnp.dot(q, pts.T, preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST)   # (BM, N) on the MXU
+    d2 = (jnp.sum(q * q, -1, keepdims=True)
+          + jnp.sum(pts * pts, -1)[None, :] - 2.0 * inner)
+    lane = lax.broadcasted_iota(jnp.int32, (BM, N), 1)
+    hit = (d2 < radius * radius) & (lane < n_valid)
+    cnt = jnp.minimum(jnp.sum(hit, -1), nsample).astype(jnp.int32)
+
+    hitf = hit.astype(jnp.bfloat16)
+    CH = 256 if N % 256 == 0 else 128
+    ii = lax.broadcasted_iota(jnp.int32, (CH, CH), 0)
+    jj = lax.broadcasted_iota(jnp.int32, (CH, CH), 1)
+    U = (ii < jj).astype(jnp.bfloat16)
+
+    ranks = []
+    off = jnp.zeros((BM, 1), jnp.float32)
+    for k in range(N // CH):
+        h = hitf[:, k * CH:(k + 1) * CH]
+        r = jnp.dot(h, U, preferred_element_type=jnp.float32)
+        ranks.append(r + off)
+        off = off + (r[:, -1:] + h[:, -1:].astype(jnp.float32))
+    rank = jnp.concatenate(ranks, axis=1).astype(jnp.int32)   # (BM, N)
+
+    # remaining leftward distance; -1 marks dead lanes
+    rem = jnp.where(hit, lane - rank, -1)
+
+    # ---- packed coordinate plane (pure function of pts, row-broadcast).
+    # Padded lanes (wrapper pads with 1e9) are masked out of the bbox.
+    lane_n = lax.broadcasted_iota(jnp.int32, (N, 3), 0)
+    valid_n = lane_n < n_valid
+    mn = jnp.min(jnp.where(valid_n, pts, jnp.inf), axis=0)     # (3,)
+    mx = jnp.max(jnp.where(valid_n, pts, -jnp.inf), axis=0)
+    ext = jnp.maximum(mx - mn, 1e-6)
+    scl = 1023.0 / ext
+    qp = jnp.clip(jnp.floor((pts - mn[None, :]) * scl[None, :] + 0.5),
+                  0.0, 1023.0).astype(jnp.int32)               # (N, 3)
+    packed_vec = qp[:, 0] | (qp[:, 1] << 10) | (qp[:, 2] << 20)
+    p1 = jnp.broadcast_to(packed_vec[None, :], (BM, N))
+    planes = [p1]
+    if emit_idx:
+        planes.append(lane)                                    # i32 iota plane
+
+    n_bits = max(1, (N - 1).bit_length())
+    for b in range(n_bits):
+        sh = 1 << b
+        if sh >= N:
+            break
+        srem = _roll_left(rem, sh, interpret)
+        take = (lane + sh < N) & (srem >= 0) & ((srem & sh) != 0)
+        stay = (rem >= 0) & ((rem & sh) == 0)
+        rem = jnp.where(take, srem - sh, jnp.where(stay, rem, -1))
+        planes = [jnp.where(take, _roll_left(v, sh, interpret), v)
+                  for v in planes]
+
+    col = lax.broadcasted_iota(jnp.int32, (BM, nsample), 1)
+    filled = col < cnt[:, None]
+    any_hit = cnt[:, None] > 0
+
+    out_i = 0
+    v1 = planes[0][:, :nsample]
+    inv = ext * (1.0 / 1023.0)
+    for c, shift in ((0, 0), (1, 10), (2, 20)):
+        comp = ((v1 >> shift) & 1023).astype(jnp.float32) * inv[c] + mn[c]
+        # unfilled slots -> first hit; zero hits -> (quantized) point 0
+        p0 = ((packed_vec[0] >> shift) & 1023).astype(jnp.float32) \
+            * inv[c] + mn[c]
+        fill = jnp.where(any_hit, comp[:, 0:1], p0)
+        out_refs[out_i][0, :, :] = (jnp.where(filled, comp, fill)
+                                    - q[:, c][:, None])
+        out_i += 1
+    out_refs[out_i][0, :, :] = jnp.broadcast_to(cnt[None, :], (8, BM))
+    out_i += 1
+    if emit_idx:
+        vl = planes[1][:, :nsample]
+        fill = jnp.where(any_hit, vl[:, 0:1], 0)
+        out_refs[out_i][0, :, :] = jnp.where(filled, vl, fill)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5, 6, 7))
 def query_ball_group_pallas(radius: float, nsample: int, xyz: jax.Array,
                             new_xyz: jax.Array, emit_idx: bool = True,
-                            block_m: int = 128, interpret: bool = False):
+                            block_m: int = 128, interpret: bool = False,
+                            packed: bool = False):
     """Fused ball query + centered neighborhood coordinates.
 
     xyz (B, N, 3), new_xyz (B, M, 3) -> (grouped_xyz (B, M, nsample, 3)
@@ -140,6 +247,14 @@ def query_ball_group_pallas(radius: float, nsample: int, xyz: jax.Array,
     VMEM-resident per block.  The backbone path uses emit_idx=False —
     nothing downstream consumes the indices, and dropping the index
     plane removes ~20% of the butterfly's select work.
+
+    packed=True routes 2 planes (3 with emit_idx) through the butterfly
+    instead of 4-5: the coordinates ride as ONE i32 plane of 10-bit
+    fixed-point RAW coords packed 3-in-one (quantized over the masked
+    per-component cloud bbox), plus the rem control plane and, when
+    emit_idx, a lane plane.  Grouped coordinates then carry
+    <= extent_c/2046 absolute quantization error per component; idx and
+    cnt stay exact.  See _ballq_butterfly_packed_kernel.
     """
     B, N, _ = xyz.shape
     M = new_xyz.shape[1]
@@ -176,8 +291,10 @@ def query_ball_group_pallas(radius: float, nsample: int, xyz: jax.Array,
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((B, m_pad, nsample), jnp.int32))
 
+    kern = (_ballq_butterfly_packed_kernel if packed
+            else _ballq_butterfly_kernel)
     outs = pl.pallas_call(
-        functools.partial(_ballq_butterfly_kernel, radius, nsample, N,
+        functools.partial(kern, radius, nsample, N,
                           emit_idx, interpret),
         grid=(B, m_pad // bm),
         in_specs=[

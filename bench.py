@@ -82,6 +82,10 @@ def main():
                     default="pallas",
                     help="three_nn tier (pallas fused kernel: 3.1 vs 4.3 ms"
                          " XLA at the FP1 shape)")
+    ap.add_argument("--exact-ballq", action="store_true",
+                    help="disable the packed butterfly planes (packed is the "
+                         "inference default: SA1 4.96 -> 3.55 ms; idx/cnt "
+                         "exact, coords within extent/2046 — perf_round3.md)")
     ap.add_argument("--skip-pose", action="store_true")
     ap.add_argument("--pose-random", action="store_true",
                     help="diagnostic: feed the pose stage random tensors "
@@ -101,6 +105,7 @@ def main():
         n_max_parts=K, mixed=True, pred_joint=True, dtype=jnp.bfloat16,
         backbone_spec=BackboneSpec(fps_impl=args.impl,
                                    ball_query_impl=args.bq_impl,
+                                   ball_query_packed=not args.exact_ballq,
                                    three_nn_impl=args.three_nn_impl))
     rng = jax.random.PRNGKey(0)
     P = jnp.asarray(np.random.RandomState(0).rand(B, N, 3), jnp.float32)

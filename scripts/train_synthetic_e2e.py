@@ -48,6 +48,9 @@ def main():
                     choices=["float32", "bfloat16"],
                     help="output-head dtype override (mixed-precision "
                          "diagnosis: bf16 trunk + f32 heads)")
+    ap.add_argument("--packed-ballq", action="store_true",
+                    help="packed butterfly ball query (quantized grouped "
+                         "coords; A/B the ball_query_packed config knob)")
     args = ap.parse_args()
 
     import jax
@@ -76,7 +79,8 @@ def main():
                         decay_step=10**8, bn_decay_step=10**8,
                         val_interval=0, snapshot_interval=0,
                         compute_dtype=args.dtype,
-                        head_compute_dtype=args.head_dtype)
+                        head_compute_dtype=args.head_dtype,
+                        ball_query_packed=args.packed_ballq)
     gen = SyntheticArticulated(n_parts=K, points_per_part=500,
                                joint_types=joint_types, seed=0,
                                full_rotation=args.full_rotation)

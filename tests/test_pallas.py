@@ -263,6 +263,40 @@ class TestButterflyBallQuery:
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_r))
         assert int(np.asarray(cnt).min()) == 8  # everything saturated
 
+    @pytest.mark.parametrize("B,N,M,S,r", [(2, 256, 128, 32, 0.2),
+                                           (2, 300, 100, 16, 0.35),
+                                           (1, 512, 128, 64, 0.4)])
+    def test_packed_variant(self, rng, B, N, M, S, r):
+        """packed=True: idx/cnt exact, grouped coords within the 10-bit
+        quantization bound (extent_c/2046 per component).  The N=300 case
+        exercises the masked bbox (wrapper pads lanes with 1e9)."""
+        from articulated_pose_tpu.ops.pallas import query_ball_group_pallas
+        xyz = jnp.asarray(rng.rand(B, N, 3), jnp.float32)
+        qi = rng.choice(N, size=(B, M))
+        q = jnp.stack([xyz[b, qi[b]] for b in range(B)])
+        grouped, cnt, idx = query_ball_group_pallas(
+            r, S, xyz, q, emit_idx=True, interpret=True, packed=True)
+        idx_r, cnt_r = core.query_ball_point(r, S, xyz, q)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_r))
+        np.testing.assert_array_equal(np.asarray(cnt), np.asarray(cnt_r))
+        want = (np.asarray(core.group_point(xyz, idx_r))
+                - np.asarray(q)[:, :, None, :])
+        ext = np.asarray(xyz).max(1) - np.asarray(xyz).min(1)     # (B, 3)
+        bound = ext[:, None, None, :] / 2046.0 + 1e-5
+        assert (np.abs(np.asarray(grouped) - want) <= bound).all()
+
+    def test_packed_no_idx_path_matches(self, rng):
+        from articulated_pose_tpu.ops.pallas import query_ball_group_pallas
+        xyz = jnp.asarray(rng.rand(1, 512, 3), jnp.float32)
+        q = jnp.asarray(rng.rand(1, 128, 3), jnp.float32)
+        g1, c1, i1 = query_ball_group_pallas(0.3, 32, xyz, q, emit_idx=True,
+                                             interpret=True, packed=True)
+        g2, c2, i2 = query_ball_group_pallas(0.3, 32, xyz, q, emit_idx=False,
+                                             interpret=True, packed=True)
+        assert i2 is None and i1 is not None
+        np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
 
 class TestFPSAutoBlock:
     def test_auto_block_large_cloud(self, rng):

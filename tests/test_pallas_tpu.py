@@ -97,6 +97,27 @@ class TestBallQueryOnTPU:
         # coordinates ride the butterfly unchanged -> bitwise equal
         np.testing.assert_array_equal(np.asarray(grouped), want)
 
+    @pytest.mark.parametrize("B,N,M,S,r", [(64, 2048, 512, 64, 0.2),
+                                           (64, 512, 128, 64, 0.4)])
+    def test_butterfly_fused_packed(self, rng, B, N, M, S, r):
+        """packed=True on chip: idx/cnt exact; grouped coords within the
+        10-bit quantization bound extent_c/2046 per component."""
+        from articulated_pose_tpu import ops
+        from articulated_pose_tpu.ops.pallas import query_ball_group_pallas
+
+        xyz, q = _clouds(rng, B, N, M)
+        grouped, cnt, idx = query_ball_group_pallas(r, S, xyz, q,
+                                                    emit_idx=True,
+                                                    packed=True)
+        idx_r, cnt_r = ops.query_ball_point(r, S, xyz, q)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_r))
+        np.testing.assert_array_equal(np.asarray(cnt), np.asarray(cnt_r))
+        want = (np.asarray(ops.group_point(xyz, idx_r))
+                - np.asarray(q)[:, :, None, :])
+        ext = np.asarray(xyz).max(1) - np.asarray(xyz).min(1)
+        bound = ext[:, None, None, :] / 2046.0 + 1e-5
+        assert (np.abs(np.asarray(grouped) - want) <= bound).all()
+
     def test_streaming_large_n(self, rng):
         """N=16k blockwise kernel vs oracle; divergence confined to the
         documented f32 radius-boundary class (distances within ~1e-5 of
