@@ -59,11 +59,64 @@ def _three_nn_kernel(m_valid: int, xyz1_ref, xyz2_ref, dist_ref, idx_ref):
     idx_ref[0, :, :] = idx_acc
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
+def _three_nn_key_kernel(m_valid: int, xyz1_ref, xyz2_ref, dist_ref, idx_ref):
+    """Packed-key variant: one i32 sort key per (query, candidate).
+
+    key = (f32 bits of d2, truncated to the top 16) | lane.  d2 >= 0 so
+    the f32 bit pattern is monotone as an i32; truncation keeps 7
+    mantissa bits (bf16-grade, <= 2^-8 relative), and the lane in the
+    low 16 bits makes ties resolve to the lowest index — the exact
+    kernel's semantics.  Each of the 3 sweeps is then ONE min + ONE
+    masked update over the (N, M) tile instead of the exact kernel's
+    min + equality-scan + arg-extract + update (~2 passes vs ~4).
+
+    Cost: the selection ORDER is by truncated distance, so two
+    candidates whose d2 agree to 2^-8 relative may swap vs the exact
+    kernel, and the emitted dist is the truncated d2 (always <= exact).
+    Inference tier only — A/B evidence in docs/perf_round3.md.
+    """
+    q = xyz1_ref[0]                                    # (N, 3)
+    p = xyz2_ref[0]                                    # (M, 3)
+    N = q.shape[0]
+    M = p.shape[0]
+
+    inner = jnp.dot(q, p.T, preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST)   # (N, M) on the MXU
+    d2 = jnp.maximum(
+        jnp.sum(q * q, -1, keepdims=True)
+        + jnp.sum(p * p, -1)[None, :] - 2.0 * inner, 0.0)
+    lane = lax.broadcasted_iota(jnp.int32, (N, M), 1)
+    bits = lax.bitcast_convert_type(d2, jnp.int32)
+    key = jnp.where(lane < m_valid,
+                    (bits & jnp.int32(-65536)) | lane, jnp.int32(2**31 - 1))
+
+    for k in range(3):
+        v = jnp.min(key, axis=-1)                      # (N,) i32
+        i = v & jnp.int32(0xFFFF)
+        dk = lax.bitcast_convert_type(v & jnp.int32(-65536), jnp.float32)
+        col = lax.broadcasted_iota(jnp.int32, (N, 8), 1)
+        if k == 0:
+            dist_acc = jnp.where(col == 0, dk[:, None], 0.0)
+            idx_acc = jnp.where(col == 0, i[:, None], 0)
+        else:
+            dist_acc = jnp.where(col == k, dk[:, None], dist_acc)
+            idx_acc = jnp.where(col == k, i[:, None], idx_acc)
+        key = jnp.where(lane == i[:, None], jnp.int32(2**31 - 1), key)
+
+    dist_ref[0, :, :] = dist_acc
+    idx_ref[0, :, :] = idx_acc
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
 def three_nn_pallas(xyz1: jax.Array, xyz2: jax.Array,
-                    interpret: bool = False):
+                    interpret: bool = False, packed: bool = False):
     """xyz1 (B, N, 3), xyz2 (B, M, 3) -> (dist (B, N, 3) squared asc,
-    idx (B, N, 3) int32).  Exact ops.core.three_nn semantics."""
+    idx (B, N, 3) int32).  Exact ops.core.three_nn semantics.
+
+    packed=True swaps in the i32 sort-key kernel (_three_nn_key_kernel):
+    ~half the sweep passes, distances truncated to bf16-grade (<= 2^-8
+    relative, always <= exact); near-ties within the truncation may pick
+    a different (equally close) neighbor.  Inference tier."""
     B, N, _ = xyz1.shape
     M = xyz2.shape[1]
     n_pad = -(-N // 128) * 128
@@ -84,8 +137,11 @@ def three_nn_pallas(xyz1: jax.Array, xyz2: jax.Array,
     if n_pad % NB:
         q = jnp.pad(q, ((0, 0), (0, n_tiles * NB - n_pad), (0, 0)))
 
+    if packed:
+        assert m_pad <= 65536, "packed key holds the lane in 16 bits"
+    kern = _three_nn_key_kernel if packed else _three_nn_kernel
     dist, idx = pl.pallas_call(
-        functools.partial(_three_nn_kernel, M),
+        functools.partial(kern, M),
         grid=(B, n_tiles),
         in_specs=[
             pl.BlockSpec((1, NB, 3), lambda b, n: (b, n, 0),

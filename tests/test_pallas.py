@@ -159,6 +159,47 @@ class TestPallasThreeNN:
         _, idx = three_nn_pallas(q, p, interpret=True)
         assert int(idx[0, 0, 0]) == 3        # lowest index wins the tie
 
+    def test_packed_key_within_truncation(self, rng):
+        """packed=True: neighbor choice may legally differ from the exact
+        kernel only within the 2^-8 key truncation; emitted dist is the
+        truncated true d2 of the chosen neighbor (always <= exact)."""
+        from articulated_pose_tpu.ops.pallas.three_nn import three_nn_pallas
+        q = jnp.asarray(rng.rand(2, 140, 3), jnp.float32)
+        p = jnp.asarray(rng.rand(2, 70, 3), jnp.float32)
+        d_ref, i_ref = core.three_nn(q, p)
+        d_got, i_got = three_nn_pallas(q, p, interpret=True, packed=True)
+        d_ref, i_ref, d_got, i_got = map(np.asarray,
+                                         (d_ref, i_ref, d_got, i_got))
+        # true d2 of the packed choices, in f64
+        qq = np.asarray(q, np.float64)
+        pp = np.asarray(p, np.float64)
+        d_true = np.stack([
+            np.take_along_axis(
+                ((qq[b, :, None] - pp[b][None]) ** 2).sum(-1),
+                i_got[b], axis=1)
+            for b in range(2)])
+        # emitted dist: truncation of the choice's d2 (within f32 noise)
+        assert (d_got <= d_true * (1 + 1e-5) + 1e-7).all()
+        assert (d_got >= d_true * (1 - 2 ** -7) - 1e-7).all()
+        # each chosen k-th neighbor is within the truncation band of the
+        # exact k-th (sorted ascending both ways by construction)
+        band = np.maximum(d_ref * 2 ** -7, 1e-7)
+        assert (d_true <= d_ref + band).all()
+        # where keys can't tie (gap above truncation), idx must agree
+        gap_safe = d_ref * 2 ** -6
+        disagree = i_got != i_ref
+        assert (np.abs(d_true - d_ref)[disagree] <=
+                gap_safe[disagree]).all()
+
+    def test_packed_duplicate_tie_lowest_index(self, rng):
+        from articulated_pose_tpu.ops.pallas.three_nn import three_nn_pallas
+        p_np = rng.rand(1, 40, 3).astype(np.float32)
+        p_np[0, 17] = p_np[0, 3]
+        q = jnp.asarray(p_np[:, 3:4])
+        _, idx = three_nn_pallas(jnp.asarray(q), jnp.asarray(p_np),
+                                 interpret=True, packed=True)
+        assert int(idx[0, 0, 0]) == 3
+
 
 class TestStreamingThreeNN:
     def test_multitile_matches_xla(self, rng):
