@@ -47,15 +47,17 @@ def _roll_left(x: jax.Array, shift: int, interpret: bool) -> jax.Array:
     return pltpu.roll(x, x.shape[-1] - shift, axis=x.ndim - 1)
 
 
-def _ballq_butterfly_kernel(radius: float, nsample: int, n_valid: int,
-                            emit_idx: bool, interpret: bool,
-                            xyz_ref, q_ref, *out_refs):
-    # xyz_ref (1, N, 3) points; q_ref (1, BM, 3) queries
-    pts = xyz_ref[0]                                   # (N, 3)
-    q = q_ref[0]                                       # (BM, 3)
+def _hits_rank_rem(radius: float, nsample: int, n_valid: int,
+                   pts: jax.Array, q: jax.Array):
+    """Shared prologue of both kernels: (BM, N) hit mask -> per-query hit
+    count, lane iota, and each hit's remaining leftward routing distance.
+
+    The exclusive prefix rank among hits is chunked strictly-lower-
+    triangular matmuls; bf16 0/1 inputs with f32 accumulation are exact
+    for chunk sums <= 256.
+    """
     N = pts.shape[0]
     BM = q.shape[0]
-
     inner = jnp.dot(q, pts.T, preferred_element_type=jnp.float32,
                     precision=lax.Precision.HIGHEST)   # (BM, N) on the MXU
     d2 = (jnp.sum(q * q, -1, keepdims=True)
@@ -64,8 +66,6 @@ def _ballq_butterfly_kernel(radius: float, nsample: int, n_valid: int,
     hit = (d2 < radius * radius) & (lane < n_valid)
     cnt = jnp.minimum(jnp.sum(hit, -1), nsample).astype(jnp.int32)
 
-    # ---- exclusive prefix rank among hits (chunked triangular matmul;
-    # bf16 0/1 inputs with f32 accumulation are exact for sums <= 256)
     hitf = hit.astype(jnp.bfloat16)
     CH = 256 if N % 256 == 0 else 128
     ii = lax.broadcasted_iota(jnp.int32, (CH, CH), 0)
@@ -83,24 +83,48 @@ def _ballq_butterfly_kernel(radius: float, nsample: int, n_valid: int,
 
     # remaining leftward distance; -1 marks dead lanes
     rem = jnp.where(hit, lane - rank, -1)
+    return lane, cnt, rem
 
-    # value planes that ride the butterfly together
-    planes = [jnp.broadcast_to(pts[:, c][None, :], (BM, N)) for c in range(3)]
-    if emit_idx:
-        planes.append(lane.astype(jnp.float32))
 
+def _butterfly_route(rem: jax.Array, planes, lane: jax.Array,
+                     interpret: bool):
+    """LSB-first log2(N) power-of-2 roll+select stages (collision-free
+    for monotone leftward shifts).  Routes every plane in `planes`
+    alongside the rem control plane; wrapped lanes never inject."""
+    N = rem.shape[-1]
     n_bits = max(1, (N - 1).bit_length())
     for b in range(n_bits):
         sh = 1 << b
         if sh >= N:
             break
         srem = _roll_left(rem, sh, interpret)
-        # wrapped lanes (source beyond N) must not inject
         take = (lane + sh < N) & (srem >= 0) & ((srem & sh) != 0)
         stay = (rem >= 0) & ((rem & sh) == 0)
         rem = jnp.where(take, srem - sh, jnp.where(stay, rem, -1))
         planes = [jnp.where(take, _roll_left(v, sh, interpret), v)
                   for v in planes]
+    return planes
+
+
+def _ballq_butterfly_kernel(radius: float, nsample: int, n_valid: int,
+                            emit_idx: bool, interpret: bool,
+                            xyz_ref, q_ref, *out_refs):
+    # xyz_ref (1, N, 3) points; q_ref (1, BM, 3) queries
+    pts = xyz_ref[0]                                   # (N, 3)
+    q = q_ref[0]                                       # (BM, 3)
+    N = pts.shape[0]
+    BM = q.shape[0]
+
+    lane, cnt, rem = _hits_rank_rem(radius, nsample, n_valid, pts, q)
+
+    # value planes that ride the butterfly together: pure row-broadcasts
+    # of length-N vectors (this producer shape is load-bearing for the
+    # Mosaic lowering — see _ballq_butterfly_packed_kernel)
+    planes = [jnp.broadcast_to(pts[:, c][None, :], (BM, N)) for c in range(3)]
+    if emit_idx:
+        planes.append(lane.astype(jnp.float32))
+
+    planes = _butterfly_route(rem, planes, lane, interpret)
 
     col = lax.broadcasted_iota(jnp.int32, (BM, nsample), 1)
     filled = col < cnt[:, None]
@@ -152,31 +176,7 @@ def _ballq_butterfly_packed_kernel(radius: float, nsample: int, n_valid: int,
     N = pts.shape[0]
     BM = q.shape[0]
 
-    inner = jnp.dot(q, pts.T, preferred_element_type=jnp.float32,
-                    precision=lax.Precision.HIGHEST)   # (BM, N) on the MXU
-    d2 = (jnp.sum(q * q, -1, keepdims=True)
-          + jnp.sum(pts * pts, -1)[None, :] - 2.0 * inner)
-    lane = lax.broadcasted_iota(jnp.int32, (BM, N), 1)
-    hit = (d2 < radius * radius) & (lane < n_valid)
-    cnt = jnp.minimum(jnp.sum(hit, -1), nsample).astype(jnp.int32)
-
-    hitf = hit.astype(jnp.bfloat16)
-    CH = 256 if N % 256 == 0 else 128
-    ii = lax.broadcasted_iota(jnp.int32, (CH, CH), 0)
-    jj = lax.broadcasted_iota(jnp.int32, (CH, CH), 1)
-    U = (ii < jj).astype(jnp.bfloat16)
-
-    ranks = []
-    off = jnp.zeros((BM, 1), jnp.float32)
-    for k in range(N // CH):
-        h = hitf[:, k * CH:(k + 1) * CH]
-        r = jnp.dot(h, U, preferred_element_type=jnp.float32)
-        ranks.append(r + off)
-        off = off + (r[:, -1:] + h[:, -1:].astype(jnp.float32))
-    rank = jnp.concatenate(ranks, axis=1).astype(jnp.int32)   # (BM, N)
-
-    # remaining leftward distance; -1 marks dead lanes
-    rem = jnp.where(hit, lane - rank, -1)
+    lane, cnt, rem = _hits_rank_rem(radius, nsample, n_valid, pts, q)
 
     # ---- packed coordinate plane (pure function of pts, row-broadcast).
     # Padded lanes (wrapper pads with 1e9) are masked out of the bbox.
@@ -194,17 +194,7 @@ def _ballq_butterfly_packed_kernel(radius: float, nsample: int, n_valid: int,
     if emit_idx:
         planes.append(lane)                                    # i32 iota plane
 
-    n_bits = max(1, (N - 1).bit_length())
-    for b in range(n_bits):
-        sh = 1 << b
-        if sh >= N:
-            break
-        srem = _roll_left(rem, sh, interpret)
-        take = (lane + sh < N) & (srem >= 0) & ((srem & sh) != 0)
-        stay = (rem >= 0) & ((rem & sh) == 0)
-        rem = jnp.where(take, srem - sh, jnp.where(stay, rem, -1))
-        planes = [jnp.where(take, _roll_left(v, sh, interpret), v)
-                  for v in planes]
+    planes = _butterfly_route(rem, planes, lane, interpret)
 
     col = lax.broadcasted_iota(jnp.int32, (BM, nsample), 1)
     filled = col < cnt[:, None]
