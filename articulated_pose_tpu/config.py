@@ -45,6 +45,20 @@ class NetworkConfig:
     # output-head dtype override (None = compute_dtype): "float32" keeps
     # head logits/gradients f32 under a bf16 trunk (docs/dtype_ab.md)
     head_compute_dtype: Optional[str] = None
+    # backbone mixed-precision policy under a bf16 trunk (docs/dtype_ab.md):
+    # pool_compute_dtype="float32" keeps each SA stage's pre-pool
+    # activation and max selection unrounded (pooled output cast back);
+    # act_compute_dtype="float32" keeps ALL inter-layer activations f32
+    # so only the matmuls run bf16.
+    pool_compute_dtype: Optional[str] = None
+    act_compute_dtype: Optional[str] = None
+    # backbone stages pinned to f32 under a bf16 trunk ("sa1", "sa2",
+    # "sa_global", "fp1".."fp3", "fc1").  The round-3 gradient bisect
+    # (docs/dtype_ab.md) localized the bf16 training collapse to SA1's
+    # bf16 compute (grad cosine 0.19 vs f32 at trained params, norm 5.6x,
+    # unaffected by head/pool/activation-dtype interventions); SA1's
+    # MLPs are <1 ms of the forward, so pinning them f32 is ~free.
+    f32_stages: tuple = ()
     use_pallas: bool = True            # Pallas FPS kernel when on TPU
     # packed butterfly ball query: coordinates ride the compaction
     # network as ONE 10-bit-quantized i32 plane instead of three f32

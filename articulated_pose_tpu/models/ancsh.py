@@ -74,12 +74,24 @@ class ANCSHModel(nn.Module):
     # Lets a bf16 trunk keep f32 head logits — the mixed-precision
     # recipe A/B'd in docs/dtype_ab.md for the bf16 training collapse.
     head_dtype: Dtype = None
+    # backbone mixed-precision policy (see PointNet2Backbone):
+    # pool_dtype=f32 keeps the pre-pool activation/selection unrounded;
+    # act_dtype=f32 keeps ALL inter-layer activations f32 (bf16 matmuls
+    # only).
+    pool_dtype: Dtype = None
+    act_dtype: Dtype = None
+    # backbone stages pinned to f32 under a bf16 trunk (see
+    # PointNet2Backbone.f32_stages)
+    f32_stages: tuple = ()
 
     @nn.compact
     def __call__(self, P, *, train: bool = False, bn_momentum=0.9) -> Dict[str, jax.Array]:
         K = self.n_max_parts
         hdt = self.dtype if self.head_dtype is None else self.head_dtype
         feat = PointNet2Backbone(self.backbone_spec, dtype=self.dtype,
+                                 pool_dtype=self.pool_dtype,
+                                 act_dtype=self.act_dtype,
+                                 f32_stages=tuple(self.f32_stages),
                                  name="backbone")(
             P, train=train, bn_momentum=bn_momentum)
 
@@ -160,4 +172,9 @@ def build_model(config) -> ANCSHModel:
         dtype=jnp.dtype(config.compute_dtype),
         head_dtype=(None if config.head_compute_dtype is None
                     else jnp.dtype(config.head_compute_dtype)),
+        pool_dtype=(None if config.pool_compute_dtype is None
+                    else jnp.dtype(config.pool_compute_dtype)),
+        act_dtype=(None if config.act_compute_dtype is None
+                   else jnp.dtype(config.act_compute_dtype)),
+        f32_stages=tuple(config.f32_stages),
     )

@@ -72,9 +72,14 @@ class PointConv(nn.Module):
     use_bn: bool = True
     activation: Optional[Callable] = nn.relu
     dtype: Dtype = jnp.float32
+    # dtype the layer *emits* (None = self.dtype).  The matmul still runs
+    # at self.dtype; out_dtype=f32 under a bf16 compute dtype keeps the
+    # post-BN activation unrounded — the mixed-precision policy knob.
+    out_dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False, bn_momentum=0.9) -> jax.Array:
+        odt = self.dtype if self.out_dtype is None else self.out_dtype
         y = nn.Dense(
             self.features,
             kernel_init=nn.initializers.xavier_uniform(),
@@ -84,8 +89,10 @@ class PointConv(nn.Module):
             name="dense",
         )(x.astype(self.dtype))
         if self.use_bn:
-            y = ScheduledBatchNorm(dtype=self.dtype, name="bn")(
+            y = ScheduledBatchNorm(dtype=odt, name="bn")(
                 y, train=train, momentum=bn_momentum)
+        else:
+            y = y.astype(odt)
         if self.activation is not None:
             y = self.activation(y)
         return y
@@ -97,10 +104,20 @@ class SharedMLP(nn.Module):
     channels: Sequence[int]
     use_bn: bool = True
     dtype: Dtype = jnp.float32
+    # dtype of the FINAL layer's output (None = dtype); intermediate
+    # layers always emit self.dtype.
+    out_dtype: Optional[Dtype] = None
+    # dtype EVERY layer emits (None = dtype); overrides out_dtype when
+    # set — the "bf16 matmuls, f32 activations" policy.
+    act_dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False, bn_momentum=0.9) -> jax.Array:
+        last = len(self.channels) - 1
         for i, ch in enumerate(self.channels):
+            odt = self.act_dtype if self.act_dtype is not None else (
+                self.out_dtype if i == last else None)
             x = PointConv(ch, use_bn=self.use_bn, dtype=self.dtype,
+                          out_dtype=odt,
                           name=f"conv{i}")(x, train=train, bn_momentum=bn_momentum)
         return x

@@ -130,6 +130,13 @@ class SetAbstraction(nn.Module):
     ball_query_impl: str = "xla"
     ball_query_packed: bool = False
     dtype: Dtype = jnp.float32
+    # pre-pool dtype: the final MLP layer emits this and the pool runs in
+    # it (None = dtype).  pool_dtype=f32 under a bf16 trunk keeps the max
+    # selection unrounded; the pooled (S× smaller) output is cast back.
+    pool_dtype: Optional[Dtype] = None
+    # dtype every MLP layer emits (None = dtype) — "bf16 matmuls, f32
+    # activations" when f32.  Overrides pool_dtype on the last layer.
+    act_dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, xyz, points, *, train: bool = False, bn_momentum=0.9,
@@ -145,7 +152,9 @@ class SetAbstraction(nn.Module):
                 ball_query_packed=self.ball_query_packed,
                 precomputed_fps=precomputed_fps)
 
-        new_points = SharedMLP(self.mlp, dtype=self.dtype, name="mlp")(
+        new_points = SharedMLP(self.mlp, dtype=self.dtype,
+                               out_dtype=self.pool_dtype,
+                               act_dtype=self.act_dtype, name="mlp")(
             new_points, train=train, bn_momentum=bn_momentum)   # (B, M, S, C)
 
         if self.pooling == "max":
@@ -158,7 +167,10 @@ class SetAbstraction(nn.Module):
             new_points = jnp.sum(new_points * w, axis=2)
         else:
             raise ValueError(f"unknown pooling {self.pooling!r}")
-        return new_xyz, new_points, idx
+        # the pooled tensor is S× smaller — cast back to the trunk dtype
+        # unless an f32-activation policy is in force
+        out = self.act_dtype if self.act_dtype is not None else self.dtype
+        return new_xyz, new_points.astype(out), idx
 
 
 class FeaturePropagation(nn.Module):
@@ -170,6 +182,7 @@ class FeaturePropagation(nn.Module):
     mlp: Sequence[int]
     three_nn_impl: str = "xla"
     dtype: Dtype = jnp.float32
+    act_dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, xyz1, xyz2, points1, points2, *, train: bool = False,
@@ -189,7 +202,8 @@ class FeaturePropagation(nn.Module):
             interp = ops.three_interpolate(points2, idx, weight)
         if points1 is not None:
             interp = jnp.concatenate([interp, points1], axis=-1)
-        return SharedMLP(self.mlp, dtype=self.dtype, name="mlp")(
+        return SharedMLP(self.mlp, dtype=self.dtype,
+                         act_dtype=self.act_dtype, name="mlp")(
             interp, train=train, bn_momentum=bn_momentum)
 
 
@@ -222,6 +236,18 @@ class PointNet2Backbone(nn.Module):
 
     spec: BackboneSpec = BackboneSpec()
     dtype: Dtype = jnp.float32
+    # mixed-precision policy under a bf16 trunk (see SetAbstraction)
+    pool_dtype: Optional[Dtype] = None
+    act_dtype: Optional[Dtype] = None
+    # stages forced to f32 regardless of dtype, by module name
+    # ("sa1", "sa2", "sa_global", "fp1".."fp3", "fc1").  The gradient
+    # bisect (docs/dtype_ab.md) found bf16 SA1 corrupts the whole
+    # gradient tree at trained params; its MLPs are a rounding-error
+    # share of forward time, so f32 there is ~free.
+    f32_stages: Tuple[str, ...] = ()
+
+    def _stage_dtype(self, name: str) -> Dtype:
+        return jnp.float32 if name in self.f32_stages else self.dtype
 
     @nn.compact
     def __call__(self, X, *, train: bool = False, bn_momentum=0.9):
@@ -250,7 +276,9 @@ class PointNet2Backbone(nn.Module):
                 nsample=s.sa_nsamples[i], mlp=s.sa_mlps[i],
                 fps_impl=s.fps_impl, ball_query_impl=s.ball_query_impl,
                 ball_query_packed=s.ball_query_packed,
-                dtype=self.dtype, name=f"sa{i + 1}",
+                dtype=self._stage_dtype(f"sa{i + 1}"),
+                pool_dtype=self.pool_dtype,
+                act_dtype=self.act_dtype, name=f"sa{i + 1}",
             )(l_xyz[-1], l_pts[-1], train=train, bn_momentum=bn_momentum,
               precomputed_fps=pre[i])
             l_xyz.append(xyz)
@@ -258,7 +286,9 @@ class PointNet2Backbone(nn.Module):
 
         xyz, pts, _ = SetAbstraction(
             npoint=None, radius=None, nsample=None, mlp=s.global_mlp,
-            group_all=True, dtype=self.dtype, name="sa_global",
+            group_all=True, dtype=self._stage_dtype("sa_global"),
+            pool_dtype=self.pool_dtype,
+            act_dtype=self.act_dtype, name="sa_global",
         )(l_xyz[-1], l_pts[-1], train=train, bn_momentum=bn_momentum)
         l_xyz.append(xyz)
         l_pts.append(pts)
@@ -275,12 +305,16 @@ class PointNet2Backbone(nn.Module):
                 skip = (l_xyz[0] if skip is None
                         else jnp.concatenate([l_xyz[0], skip], axis=-1))
             feats = FeaturePropagation(fp_mlp, three_nn_impl=s.three_nn_impl,
-                                       dtype=self.dtype, name=f"fp{i + 1}")(
+                                       dtype=self._stage_dtype(f"fp{i + 1}"),
+                                       act_dtype=self.act_dtype,
+                                       name=f"fp{i + 1}")(
                 l_xyz[lvl], l_xyz[lvl + 1], skip, feats,
                 train=train, bn_momentum=bn_momentum)
 
         # FC head: conv1d(128, bn) + dropout (architectures.py:89-93)
-        feats = PointConv(s.head_width, use_bn=True, dtype=self.dtype, name="fc1")(
+        feats = PointConv(s.head_width, use_bn=True,
+                          dtype=self._stage_dtype("fc1"),
+                          out_dtype=self.act_dtype, name="fc1")(
             feats, train=train, bn_momentum=bn_momentum)
         feats = nn.Dropout(rate=s.dropout_rate, deterministic=not train,
                            name="dp1")(feats)
