@@ -48,6 +48,10 @@ def main():
                     choices=["float32", "bfloat16"],
                     help="output-head dtype override (mixed-precision "
                          "diagnosis: bf16 trunk + f32 heads)")
+    ap.add_argument("--f32-stages", default=None,
+                    help="comma-separated backbone stages pinned to f32 "
+                         "under a bf16 trunk (e.g. 'sa1' — the gradient-"
+                         "bisect fix for the bf16 collapse)")
     ap.add_argument("--packed-ballq", action="store_true",
                     help="packed butterfly ball query (quantized grouped "
                          "coords; A/B the ball_query_packed config knob)")
@@ -80,6 +84,8 @@ def main():
                         val_interval=0, snapshot_interval=0,
                         compute_dtype=args.dtype,
                         head_compute_dtype=args.head_dtype,
+                        f32_stages=(tuple(args.f32_stages.split(","))
+                                    if args.f32_stages else ()),
                         ball_query_packed=args.packed_ballq)
     gen = SyntheticArticulated(n_parts=K, points_per_part=500,
                                joint_types=joint_types, seed=0,

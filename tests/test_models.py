@@ -160,3 +160,23 @@ class TestANCSH:
         p2 = plain.init(jax.random.PRNGKey(0), P)
         assert (jax.tree_util.tree_structure(params)
                 == jax.tree_util.tree_structure(p2))
+
+    def test_f32_stage_pin(self):
+        """bf16 trunk with SA1 pinned to f32 (the gradient-bisect fix for
+        the bf16 collapse, docs/dtype_ab.md): checkpoint-compatible with
+        plain bf16, finite, and numerically distinct from plain bf16
+        (SA1 actually ran unrounded)."""
+        P = cloud()
+        kw = dict(n_max_parts=2, mixed=True, pred_joint=True,
+                  backbone_spec=TINY, dtype=jnp.bfloat16)
+        pinned = ANCSHModel(f32_stages=("sa1",), **kw)
+        plain = ANCSHModel(**kw)
+        params = pinned.init(jax.random.PRNGKey(0), P)
+        p2 = plain.init(jax.random.PRNGKey(0), P)
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(p2))
+        a = pinned.apply(params, P)
+        b = plain.apply(params, P)
+        assert jnp.isfinite(a["nocs_per_point"]).all()
+        assert not np.allclose(np.asarray(a["nocs_per_point"]),
+                               np.asarray(b["nocs_per_point"]))
