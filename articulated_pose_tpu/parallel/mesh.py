@@ -78,6 +78,37 @@ def state_shardings(state, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(one, state)
 
 
+def shard_serving_setup(run_fn, variables, mesh: Mesh):
+    """SPMD data-parallel inference: `shard_map` over the 'data' axis.
+
+    `run_fn(variables, P, key)` is the fused forward + pose-fit body
+    (serving.py).  Variables replicate; the batch axis shards.  Unlike
+    the train path (plain jit + GSPMD), inference is wrapped in
+    `shard_map` so each device's Pallas kernels see only the LOCAL
+    (B/data, N, 3) shard — GSPMD cannot repartition through a
+    `pallas_call`, but under shard_map the kernel grid is per-device by
+    construction, which is the idiomatic TPU pattern for custom kernels
+    under SPMD.  The RNG key is folded with the data-axis index so pose
+    RANSAC draws stay distinct across shards.
+
+    Returns (sharded_run, placed_variables, batch_sharding); outputs
+    come back sharded on 'data' (global arrays, transparent to callers).
+    """
+
+    def body(variables, P_local, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        return run_fn(variables, P_local, key)
+
+    run = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P("data"), P()),
+        out_specs=P("data"),
+        check_vma=False,  # key fold-in is deliberately axis-dependent
+    )
+    placed = jax.device_put(variables, NamedSharding(mesh, P()))
+    return jax.jit(run), placed, batch_sharding(mesh)
+
+
 def shard_train_setup(train_step_fn, state, mesh: Mesh):
     """jit the train step over the mesh.
 

@@ -46,7 +46,8 @@ class PosePredictor:
                  work_dir: Optional[str] = None,
                  params=None, batch_stats=None,
                  pose_cfg: Optional[PoseFitConfig] = None,
-                 use_nonlinear: bool = True):
+                 use_nonlinear: bool = True,
+                 mesh=None):
         self.config = config
         self.model = build_model(config)
         if params is None:
@@ -84,13 +85,27 @@ class PosePredictor:
             fits = fit_frame_batch(pose_pred, P, key, self.pose_cfg)
             return pred, fits
 
-        self._run = jax.jit(run)
+        if mesh is not None:
+            # SPMD data-parallel serving: batch axis sharded over the
+            # mesh's 'data' axis, kernels per-device under shard_map
+            # (parallel/mesh.py::shard_serving_setup).  Batch size must
+            # divide by the data-axis size.
+            from articulated_pose_tpu.parallel.mesh import \
+                shard_serving_setup
+
+            self._run, self.variables, self._batch_sharding = \
+                shard_serving_setup(run, self.variables, mesh)
+        else:
+            self._run = jax.jit(run)
+            self._batch_sharding = None
         self._key = jax.random.PRNGKey(config.seed)
 
     def __call__(self, clouds: np.ndarray) -> PoseResult:
         """clouds (B, N, 3) -> PoseResult.  N must match compile shape per
         distinct N (jit caches one executable per shape)."""
         P = jnp.asarray(clouds, jnp.float32)
+        if self._batch_sharding is not None:
+            P = jax.device_put(P, self._batch_sharding)
         pred, fits = self._run(self.variables, P, self._key)
         pred, fits = jax.device_get((pred, fits))
         prefix = "nonlinear" if (self.use_nonlinear and

@@ -51,6 +51,47 @@ class TestServing:
         np.testing.assert_allclose(RRt, np.broadcast_to(np.eye(3), RRt.shape),
                                    atol=1e-3)
 
+    def test_sharded_serving_matches_unsharded(self, monkeypatch):
+        """SPMD serving over a data=4,model=2 mesh: the batch really
+        shards, the (deterministic) forward matches the single-device
+        predictor exactly, and the pose fits are valid rotations."""
+        from articulated_pose_tpu.parallel.mesh import make_mesh
+        import articulated_pose_tpu.serving as serving_mod
+
+        cfg = NetworkConfig(n_max_parts=3, num_points=128, batch_size=8,
+                            ransac_niter_part=64, ransac_niter_joint=16)
+        tiny_build = lambda c: ANCSHModel(  # noqa: E731
+            n_max_parts=c.n_max_parts, mixed=c.is_mixed,
+            pred_joint=c.pred_joint, backbone_spec=TINY)
+        monkeypatch.setattr(serving_mod, "build_model", tiny_build)
+        model = tiny_build(cfg)
+        state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                   np.zeros((1, 128, 3), np.float32))
+        kw = dict(params=state.params, batch_stats=state.batch_stats)
+
+        mesh = make_mesh("data=4,model=2")
+        sharded = PosePredictor(cfg, mesh=mesh, **kw)
+        plain = PosePredictor(cfg, **kw)
+
+        gen = SyntheticArticulated(n_parts=3, points_per_part=100, seed=0)
+        batch, _ = gen.batch(np.random.RandomState(0), 8, num_points=128)
+        a = sharded(batch["P"])
+        b = plain(batch["P"])
+        # each device holds B/data = 2 frames
+        P_dev = jax.device_put(
+            np.asarray(batch["P"], np.float32), sharded._batch_sharding)
+        assert P_dev.sharding.shard_shape(P_dev.shape)[0] == 2
+        # forward is deterministic -> exact parity with the unsharded run
+        np.testing.assert_allclose(a.raw["nocs_per_point"],
+                                   b.raw["nocs_per_point"], atol=1e-5)
+        np.testing.assert_array_equal(a.segmentation, b.segmentation)
+        # pose fits use per-shard RNG streams; assert validity, not equality
+        assert np.isfinite(a.R).all() and a.R.shape == (8, 3, 3, 3)
+        RRt = a.R.reshape(-1, 3, 3) @ np.transpose(
+            a.R.reshape(-1, 3, 3), (0, 2, 1))
+        np.testing.assert_allclose(RRt, np.broadcast_to(np.eye(3), RRt.shape),
+                                   atol=1e-3)
+
     def test_missing_checkpoint_raises(self, tmp_path):
         cfg = NetworkConfig(n_max_parts=2)
         with pytest.raises(FileNotFoundError, match="no checkpoint"):
