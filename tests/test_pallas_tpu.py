@@ -56,6 +56,24 @@ class TestFPSOnTPU:
                 mind = np.minimum(mind, d)
                 assert mind[idx[b, j]] >= mind.max() * (1 - 1e-4)
 
+    def test_fused_two_level_matches_sequential(self, rng):
+        """farthest_point_sample2_pallas on chip == two single-level
+        passes + gather, at the backbone's SA1→SA2 production shape."""
+        from articulated_pose_tpu.ops.pallas import (
+            farthest_point_sample2_pallas, farthest_point_sample_pallas)
+
+        B, N, np1, np2 = 64, 2048, 512, 128
+        xyz = jnp.asarray(rng.rand(B, N, 3), jnp.float32)
+        i1f, x1f, i2f, x2f = farthest_point_sample2_pallas(np1, np2, xyz)
+        i1 = farthest_point_sample_pallas(np1, xyz)
+        x1 = jnp.take_along_axis(xyz, i1[..., None], axis=1)
+        i2 = farthest_point_sample_pallas(np2, x1)
+        np.testing.assert_array_equal(np.asarray(i1f), np.asarray(i1))
+        np.testing.assert_array_equal(np.asarray(i2f), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(x1f), np.asarray(x1))
+        x2 = jnp.take_along_axis(x1, i2[..., None], axis=1)
+        np.testing.assert_array_equal(np.asarray(x2f), np.asarray(x2))
+
     def test_fps_large_cloud_auto_block(self, rng):
         """N=32k: the auto batch tile keeps the state VMEM-resident."""
         from articulated_pose_tpu.ops.pallas import farthest_point_sample_pallas
@@ -155,6 +173,30 @@ class TestThreeNNOnTPU:
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_r))
         np.testing.assert_allclose(np.asarray(dist), np.asarray(dist_r),
                                    rtol=1e-6, atol=1e-6)
+
+    def test_packed_key_fp1_shape(self, rng):
+        """packed=True compiled on chip at the FP1 shape: choices and
+        emitted distances stay within the 2^-8 key-truncation band of
+        the exact oracle (same bound the interpret tier pins)."""
+        from articulated_pose_tpu import ops
+        from articulated_pose_tpu.ops.pallas import three_nn_pallas
+
+        B, N, M = 64, 2048, 512
+        xyz1 = jnp.asarray(rng.rand(B, N, 3), jnp.float32)
+        xyz2 = jnp.asarray(rng.rand(B, M, 3), jnp.float32)
+        d_got, i_got = map(np.asarray,
+                           three_nn_pallas(xyz1, xyz2, packed=True))
+        d_ref, i_ref = map(np.asarray, ops.three_nn(xyz1, xyz2))
+        # true d2 of the packed choices (f64 oracle)
+        q = np.asarray(xyz1, np.float64)
+        p = np.asarray(xyz2, np.float64)
+        d_true = np.stack([
+            np.take_along_axis(((q[b, :, None] - p[b][None]) ** 2).sum(-1),
+                               i_got[b], axis=1) for b in range(B)])
+        assert (d_got <= d_true * (1 + 1e-5) + 1e-7).all()
+        assert (d_got >= d_true * (1 - 2 ** -7) - 1e-7).all()
+        band = np.maximum(d_ref * 2 ** -7, 1e-7)
+        assert (d_true <= d_ref + band).all()
 
     def test_streaming_16k(self, rng):
         from articulated_pose_tpu import ops
