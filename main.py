@@ -8,6 +8,7 @@ The TPU-native equivalent of the reference entry points
   python main.py pose    --item=eyeglasses --domain=unseen
   python main.py eval    --item=eyeglasses --domain=unseen
   python main.py demo    --synthetic        # no dataset needed
+  python main.py serve   --input clouds.npy [--mesh data=8]
 
 With --synthetic, frames come from the procedural generator
 (data/synthetic.py) so every stage runs end-to-end with no external
@@ -308,6 +309,61 @@ def cmd_pose_eval(args, do_pose=True):
     print("wrote", out_path)
 
 
+def cmd_serve(args):
+    """One-call production inference: clouds in, poses out.
+
+    Drives serving.PosePredictor (the fused forward + pose-fit program
+    that replaces the reference's predict_and_save → h5 → multiprocess
+    solver → pickle chain).  Input: --input .npy/.npz of (B, N, 3)
+    clouds (npz key 'P'), or --synthetic frames.  Output: .npz with
+    R/s/t, segmentation, part_counts.  --mesh 'data=8' runs SPMD
+    data-parallel over the device mesh (parallel/mesh.py).
+    """
+    from articulated_pose_tpu.serving import PosePredictor
+
+    cfg, spec = build_config(args)
+    work = args.work_dir or os.path.join(cfg.experiment_dir, cfg.category,
+                                         cfg.nocs_type)
+    mesh = None
+    if args.mesh:
+        from articulated_pose_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.mesh)
+    pred = PosePredictor(cfg, work_dir=work, mesh=mesh)
+
+    if args.input:
+        loaded = np.load(args.input)
+        clouds = loaded["P"] if hasattr(loaded, "files") else loaded
+    else:
+        assert args.synthetic, "serve needs --input or --synthetic"
+        it = make_datasets(args, cfg, spec, "test")
+        clouds = np.concatenate([np.asarray(b["P"]) for b in it])
+    clouds = np.asarray(clouds, np.float32)
+    assert clouds.ndim == 3 and clouds.shape[-1] == 3, clouds.shape
+    B = cfg.batch_size
+    outs = []
+    for s in range(0, len(clouds), B):
+        chunk = clouds[s:s + B]
+        if len(chunk) < B:  # pad to the compiled batch, then trim
+            pad = np.repeat(chunk[-1:], B - len(chunk), axis=0)
+            res = pred(np.concatenate([chunk, pad]))
+            outs.append({"R": res.R[:len(chunk)], "s": res.scale[:len(chunk)],
+                         "t": res.t[:len(chunk)],
+                         "seg": res.segmentation[:len(chunk)],
+                         "part_counts": res.part_counts[:len(chunk)]})
+        else:
+            res = pred(chunk)
+            outs.append({"R": res.R, "s": res.scale, "t": res.t,
+                         "seg": res.segmentation,
+                         "part_counts": res.part_counts})
+    merged = {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+    out_path = args.output or os.path.join(work, "poses.npz")
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    np.savez(out_path, **merged)
+    print(f"served {len(clouds)} clouds -> {out_path} "
+          f"(R {merged['R'].shape}, mesh={args.mesh or 'single-device'})")
+
+
 def cmd_joint_baseline(args):
     """Train/eval the direct joint-regression baseline
     (`--model joint_baseline`; reference lib/architecture.py:163-192)."""
@@ -329,7 +385,9 @@ def cmd_joint_baseline(args):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("command", choices=["train", "test", "pose", "eval", "demo"])
+    ap.add_argument("command",
+                    choices=["train", "test", "pose", "eval", "demo",
+                             "serve"])
     ap.add_argument("--item", default="eyeglasses")
     ap.add_argument("--nocs_type", default="ancsh", choices=["ancsh", "npcs"])
     ap.add_argument("--domain", default=None, choices=[None, "seen", "unseen"])
@@ -349,6 +407,13 @@ def main(argv=None):
                          "subsampled grid (get_full_test vs get_test_group)")
     ap.add_argument("--nocs", default="NPCS", choices=["NPCS", "NAOCS"],
                     help="pose-fit source space (NAOCS = gocs head)")
+    ap.add_argument("--input", default=None,
+                    help="serve: .npy/.npz of (B, N, 3) clouds (npz key 'P')")
+    ap.add_argument("--output", default=None,
+                    help="serve: output .npz path (default <work>/poses.npz)")
+    ap.add_argument("--mesh", default=None,
+                    help="serve: SPMD mesh spec, e.g. 'data=8' "
+                         "(parallel/mesh.py::make_mesh)")
     ap.add_argument("--model", default="ancsh",
                     choices=["ancsh", "joint_baseline"],
                     help="joint_baseline = direct joint-parameter "
@@ -362,7 +427,9 @@ def main(argv=None):
             args.max_steps = args.max_steps or 30
         cmd_joint_baseline(args)
         return
-    if args.command == "train":
+    if args.command == "serve":
+        cmd_serve(args)
+    elif args.command == "train":
         cmd_train(args)
     elif args.command == "test":
         cmd_test(args)

@@ -41,6 +41,40 @@ class TestCLI:
         assert "overall:" in r2.stdout
         assert os.path.exists(os.path.join(work, "eval_all.json"))
 
+    def test_serve_from_checkpoint(self, tmp_path):
+        """serve: clouds in, poses out — single-device and SPMD mesh."""
+        import numpy as np
+
+        work = str(tmp_path / "work")
+        r = run_cli("demo", "--synthetic", "--max_steps", "2",
+                    "--batch_size", "4", "--num_points", "128",
+                    "--synthetic_frames", "8", "--work_dir", work)
+        assert r.returncode == 0, r.stderr[-2000:]
+        clouds = np.random.RandomState(0).rand(6, 128, 3).astype(np.float32)
+        inp = str(tmp_path / "clouds.npy")
+        np.save(inp, clouds)
+        out = str(tmp_path / "poses.npz")
+        r2 = run_cli("serve", "--batch_size", "4", "--num_points", "128",
+                     "--work_dir", work, "--input", inp, "--output", out)
+        assert r2.returncode == 0, r2.stderr[-2000:]
+        got = np.load(out)
+        assert got["R"].shape == (6, 3, 3, 3)
+        assert np.isfinite(got["R"]).all()
+        # SPMD: 4-device virtual mesh through the same CLI
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=4")
+        r3 = subprocess.run(
+            [sys.executable, os.path.join(REPO, "main.py"), "serve",
+             "--batch_size", "4", "--num_points", "128",
+             "--work_dir", work, "--input", inp, "--output", out,
+             "--mesh", "data=4"],
+            capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
+        assert r3.returncode == 0, r3.stderr[-2000:]
+        assert "mesh=data=4" in r3.stdout
+        got = np.load(out)
+        assert got["R"].shape == (6, 3, 3, 3)
+        assert np.isfinite(got["R"]).all()
+
     def test_bad_category_message(self):
         r = run_cli("eval", "--item", "nonexistent", "--synthetic",
                     timeout=120)
