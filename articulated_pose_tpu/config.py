@@ -141,6 +141,15 @@ def load_config(path: Optional[str] = None, **overrides) -> NetworkConfig:
     cfg = NetworkConfig(**fields)
     if cfg.nocs_type not in ("ancsh", "npcs"):
         raise ValueError(f"nocs_type must be 'ancsh' or 'npcs', got {cfg.nocs_type!r}")
+    if cfg.f32_stages:
+        # fail loudly on typos: a silently-ignored stage name would undo
+        # the bf16-collapse pin this field exists for (docs/dtype_ab.md)
+        stages = tuple(str(s).strip() for s in cfg.f32_stages)
+        valid = {"sa1", "sa2", "sa_global", "fp1", "fp2", "fp3", "fc1"}
+        bad = [s for s in stages if s not in valid]
+        if bad:
+            raise ValueError(f"unknown f32_stages {bad}; valid: {sorted(valid)}")
+        cfg = cfg.replace(f32_stages=stages)
     # mode presets (reference main.py:42-52): npcs disables the joint heads' use
     if cfg.nocs_type == "npcs":
         cfg = cfg.replace(pred_joint=False, pred_joint_ind=False)

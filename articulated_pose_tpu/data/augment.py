@@ -39,6 +39,18 @@ def jitter_point_cloud(pts: np.ndarray, rng: np.random.RandomState,
     return pts + np.clip(sigma * rng.randn(*pts.shape), -clip, clip)
 
 
+def train_noise_batch(batch, rng: np.random.RandomState):
+    """Train-time input jitter as a BATCH transform (provider.py:99-112
+    policy): applied by the iterators AFTER their epoch cache, so every
+    presentation draws fresh noise (a fetch-level jitter would be frozen
+    into the cache to one draw per sample).  Only the network input P is
+    perturbed; labels stay exact.  The single augmentation policy shared
+    by the HDF5 and synthetic train paths."""
+    out = dict(batch)
+    out["P"] = jitter_point_cloud(batch["P"], rng).astype(np.float32)
+    return out
+
+
 def shift_point_cloud(pts: np.ndarray, rng: np.random.RandomState,
                       shift_range: float = 0.1) -> np.ndarray:
     """Global shift (provider.py:114-126)."""

@@ -27,12 +27,16 @@ class BatchIterator:
 
     def __init__(self, n_data: int, fetch: Callable[[int], Dict[str, np.ndarray]],
                  batch_size: int, shuffle: bool = True, seed: int = 0,
-                 drop_last: bool = True):
+                 drop_last: bool = True,
+                 transform: Optional[Callable] = None):
         self.n_data = n_data
         self.fetch = fetch
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        # transform(batch, rng) applied per yielded batch, AFTER the
+        # cache — augmentation stays fresh every epoch (data/augment.py)
+        self.transform = transform
         self._rng = np.random.RandomState(seed)
         self._cache: Optional[Dict[str, np.ndarray]] = None
 
@@ -63,7 +67,9 @@ class BatchIterator:
                 if self.drop_last else self.n_data)
         for lo in range(0, stop, self.batch_size):
             sel = order[lo:lo + self.batch_size]
-            yield {k: v[sel] for k, v in self._cache.items()}
+            batch = {k: v[sel] for k, v in self._cache.items()}
+            yield (self.transform(batch, self._rng)
+                   if self.transform else batch)
 
 
 class StreamingIterator:

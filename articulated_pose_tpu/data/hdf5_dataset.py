@@ -261,11 +261,10 @@ class HDF5Dataset:
             sample["P"] = P_norm.astype(np.float32)
             sample["P_center"] = center.astype(np.float32)
             sample["P_scale"] = np.float32(scale)
-        if self.add_noise:
-            from articulated_pose_tpu.data import augment
-
-            sample["P"] = augment.jitter_point_cloud(
-                sample["P"], self._rng).astype(np.float32)
+        # NOTE: train-time jitter (add_noise) is NOT applied here — the
+        # iterators cache fetch() once, which would freeze the noise to a
+        # single draw per sample; it rides the iterator's per-batch
+        # transform instead (augment.train_noise_batch).
         return sample
 
     def iterator(self, shuffle: Optional[bool] = None,
@@ -277,14 +276,21 @@ class HDF5Dataset:
         (lib/dataset.py:109-155)."""
         shuffle = (not self.fixed_order) if shuffle is None else shuffle
         seed = self._rng.randint(2**31)
+        transform = None
+        if self.add_noise:
+            from articulated_pose_tpu.data import augment
+
+            transform = augment.train_noise_batch
         if parallel:
             from articulated_pose_tpu.data.parallel_loader import ParallelLoader
 
             return ParallelLoader(len(self.files), self.fetch, self.batch_size,
                                   shuffle=shuffle, seed=seed,
-                                  num_workers=num_workers, drop_last=drop_last)
+                                  num_workers=num_workers, drop_last=drop_last,
+                                  transform=transform)
         return BatchIterator(len(self.files), self.fetch, self.batch_size,
-                             shuffle=shuffle, seed=seed, drop_last=drop_last)
+                             shuffle=shuffle, seed=seed, drop_last=drop_last,
+                             transform=transform)
 
     def __len__(self):
         return len(self.files)

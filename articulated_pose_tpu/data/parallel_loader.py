@@ -30,13 +30,16 @@ class ParallelLoader:
     def __init__(self, n_data: int, fetch: Callable[[int], Dict[str, np.ndarray]],
                  batch_size: int, *, shuffle: bool = True, seed: int = 0,
                  num_workers: Optional[int] = None, drop_last: bool = True,
-                 prefetch_batches: int = 2):
+                 prefetch_batches: int = 2,
+                 transform: Optional[Callable] = None):
         self.n_data = n_data
         self.fetch = fetch
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch_batches = prefetch_batches
+        # same per-batch hook as BatchIterator.transform (one policy)
+        self.transform = transform
         self._rng = np.random.RandomState(seed)
         self.num_workers = num_workers or min(8, (os.cpu_count() or 4))
 
@@ -70,5 +73,7 @@ class ParallelLoader:
                     pending.append(submit(batches[bi]))
                     bi += 1
                 samples = [f.result() for f in futs]
-                yield {k: np.stack([s[k] for s in samples])
-                       for k in samples[0]}
+                batch = {k: np.stack([s[k] for s in samples])
+                         for k in samples[0]}
+                yield (self.transform(batch, self._rng)
+                       if self.transform else batch)

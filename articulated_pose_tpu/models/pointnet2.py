@@ -252,6 +252,16 @@ class PointNet2Backbone(nn.Module):
     @nn.compact
     def __call__(self, X, *, train: bool = False, bn_momentum=0.9):
         s = self.spec
+        if self.f32_stages:
+            # a silently-ignored typo here would undo the bf16-collapse
+            # pin (docs/dtype_ab.md) — fail at trace time instead
+            valid = ({f"sa{i + 1}" for i in range(len(s.sa_npoints))}
+                     | {f"fp{i + 1}" for i in range(len(s.fp_mlps))}
+                     | {"sa_global", "fc1"})
+            bad = [n for n in self.f32_stages if n not in valid]
+            if bad:
+                raise ValueError(
+                    f"unknown f32_stages {bad}; valid: {sorted(valid)}")
         l_xyz = [X[..., :3].astype(jnp.float32)]
         l_pts = [X[..., 3:] if X.shape[-1] > 3 else None]
 

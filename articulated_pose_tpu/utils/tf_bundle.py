@@ -215,16 +215,26 @@ def _parse_header(buf: bytes) -> int:
 # -------------------------------------------------------------- top level
 
 
-def read_bundle_index(prefix: str) -> Dict[str, BundleEntry]:
-    """Parse `<prefix>.index` -> {tensor_name: BundleEntry}."""
+def read_bundle_index(prefix: str):
+    """Parse `<prefix>.index` -> ({tensor_name: BundleEntry}, num_shards).
+
+    num_shards comes from the BundleHeaderProto (key "") when present —
+    NOT from max(shard_id): a high-numbered shard holding no tensors
+    (legal for sharded Savers) would otherwise make the -of-NNNNN file
+    suffix wrong for every other shard.
+    """
     table = read_sstable(prefix + ".index")
     entries: Dict[str, BundleEntry] = {}
+    num_shards = None
     for key, value in table.items():
         if key == b"":
-            _parse_header(value)
+            num_shards = _parse_header(value)
             continue
         entries[key.decode("utf-8")] = _parse_entry(value)
-    return entries
+    if not num_shards:
+        num_shards = 1 + max((e.shard_id for e in entries.values()),
+                             default=0)
+    return entries, num_shards
 
 
 def _shard_path(prefix: str, shard: int, num_shards: int) -> str:
@@ -237,8 +247,7 @@ def read_bundle(prefix: str) -> Dict[str, np.ndarray]:
     `prefix` is the checkpoint path without extension, e.g.
     `.../tf_model.ckpt-100000`.
     """
-    entries = read_bundle_index(prefix)
-    num_shards = 1 + max((e.shard_id for e in entries.values()), default=0)
+    entries, num_shards = read_bundle_index(prefix)
     shards: Dict[int, np.memmap] = {}
     out: Dict[str, np.ndarray] = {}
     for name, e in entries.items():
@@ -331,17 +340,19 @@ def _encode_entry(e: BundleEntry) -> bytes:
 
 
 def write_bundle(prefix: str, tensors: Dict[str, np.ndarray],
-                 block_size: int = 4096) -> None:
-    """Write a TF-compatible single-shard bundle (test fixtures only).
+                 block_size: int = 4096, num_shards: int = 1) -> None:
+    """Write a TF-compatible bundle fixture (all tensors in shard 0).
 
     Produces `<prefix>.index` (real SSTable: prefix-compressed keys,
     restart arrays, multiple data blocks when entries exceed block_size,
-    index block, footer+magic) and `<prefix>.data-00000-of-00001`.
+    index block, footer+magic) and `<prefix>.data-00000-of-<num_shards>`.
+    num_shards > 1 emulates a sharded Saver whose later shards hold no
+    tensors — the header, not max(shard_id), must drive the file suffix.
     """
     names = sorted(tensors)
     data = bytearray()
     kvs: List[Tuple[bytes, bytes]] = []
-    header = _encode_tag(1, 0) + _encode_varint(1)       # num_shards=1
+    header = _encode_tag(1, 0) + _encode_varint(num_shards)
     kvs.append((b"", header))
     for name in names:
         arr = np.asarray(tensors[name])
@@ -405,5 +416,5 @@ def write_bundle(prefix: str, tensors: Dict[str, np.ndarray],
 
     with open(prefix + ".index", "wb") as f:
         f.write(file_buf)
-    with open(_shard_path(prefix, 0, 1), "wb") as f:
+    with open(_shard_path(prefix, 0, num_shards), "wb") as f:
         f.write(data)

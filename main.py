@@ -60,16 +60,18 @@ def make_datasets(args, cfg, spec, mode: str, domain=None,
                              nocs_type="AC" if cfg.is_mixed else "A")
                    for _ in range(n)]
         frames = [s for s, _ in samples]
+        transform = None
         if mode == "train" and cfg.train_data_add_noise:
+            # per-batch (post-cache) jitter — the same single policy the
+            # HDF5 path applies (data/augment.py::train_noise_batch)
             from articulated_pose_tpu.data import augment
 
-            for s in frames:
-                s["P"] = augment.jitter_point_cloud(s["P"], rng).astype(
-                    np.float32)
+            transform = augment.train_noise_batch
         gts = [g for _, g in samples]
         it = BatchIterator(n, lambda i: frames[i], cfg.batch_size,
                            shuffle=(mode == "train"), seed=0,
-                           drop_last=(mode == "train"))
+                           drop_last=(mode == "train"),
+                           transform=transform)
         it.basenames = [f"synth_{mode}_{i}" for i in range(n)]
         it.frame_gts = gts
         it.generator = gen
@@ -324,22 +326,27 @@ def cmd_serve(args):
     cfg, spec = build_config(args)
     work = args.work_dir or os.path.join(cfg.experiment_dir, cfg.category,
                                          cfg.nocs_type)
+    # load + validate the input BEFORE the (expensive) predictor compile
+    if args.input:
+        loaded = np.load(args.input)
+        clouds = loaded["P"] if hasattr(loaded, "files") else loaded
+    else:
+        if not args.synthetic:
+            sys.exit("serve needs --input or --synthetic")
+        it = make_datasets(args, cfg, spec, "test")
+        clouds = np.concatenate([np.asarray(b["P"]) for b in it])
+    clouds = np.asarray(clouds, np.float32)
+    if clouds.ndim != 3 or clouds.shape[-1] != 3:
+        sys.exit(f"serve: expected (B, N, 3) clouds, got {clouds.shape}")
+    if len(clouds) == 0:
+        sys.exit("serve: input contains no clouds")
+
     mesh = None
     if args.mesh:
         from articulated_pose_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(args.mesh)
     pred = PosePredictor(cfg, work_dir=work, mesh=mesh)
-
-    if args.input:
-        loaded = np.load(args.input)
-        clouds = loaded["P"] if hasattr(loaded, "files") else loaded
-    else:
-        assert args.synthetic, "serve needs --input or --synthetic"
-        it = make_datasets(args, cfg, spec, "test")
-        clouds = np.concatenate([np.asarray(b["P"]) for b in it])
-    clouds = np.asarray(clouds, np.float32)
-    assert clouds.ndim == 3 and clouds.shape[-1] == 3, clouds.shape
     B = cfg.batch_size
     outs = []
     for s in range(0, len(clouds), B):
@@ -422,6 +429,10 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     if args.model == "joint_baseline":
+        if args.command == "serve":
+            sys.exit("serve is only available for --model ancsh "
+                     "(the joint baseline predicts joint parameters, "
+                     "not poses)")
         if args.command == "demo":
             args.synthetic = True
             args.max_steps = args.max_steps or 30

@@ -84,7 +84,8 @@ def main():
                         val_interval=0, snapshot_interval=0,
                         compute_dtype=args.dtype,
                         head_compute_dtype=args.head_dtype,
-                        f32_stages=(tuple(args.f32_stages.split(","))
+                        f32_stages=(tuple(s.strip() for s in
+                                          args.f32_stages.split(","))
                                     if args.f32_stages else ()),
                         ball_query_packed=args.packed_ballq)
     gen = SyntheticArticulated(n_parts=K, points_per_part=500,

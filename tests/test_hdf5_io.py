@@ -167,19 +167,31 @@ class TestTrainNoise:
     was accepted but never consumed — lib/dataset.py:436,558)."""
 
     def test_jitter_perturbs_inputs_only(self, disk_dataset):
+        """Noise is applied per BATCH by the iterator (after the epoch
+        cache), so labels stay exact and every epoch draws fresh noise —
+        fetch-level jitter would freeze one draw per sample into the
+        cache (round-3 review finding)."""
         root, gen, train, test = disk_dataset
         ds_clean = HDF5Dataset(root, "eyeglasses", mode="train",
                                num_points=128, batch_size=2, seed=3)
         ds_noisy = HDF5Dataset(root, "eyeglasses", mode="train",
                                num_points=128, batch_size=2, seed=3,
                                add_noise=True)
-        a = ds_clean.fetch(0)
-        b = ds_noisy.fetch(0)
-        # same draw order -> same labels; inputs jittered within the clip
+        # fetch() itself is noise-free (labels and inputs both exact)
+        np.testing.assert_array_equal(ds_clean.fetch(0)["P"],
+                                      ds_noisy.fetch(0)["P"])
+        it_clean = ds_clean.iterator(shuffle=False, drop_last=False)
+        it_noisy = ds_noisy.iterator(shuffle=False, drop_last=False)
+        a = next(iter(it_clean))
+        b = next(iter(it_noisy))
         np.testing.assert_array_equal(a["nocs_gt"], b["nocs_gt"])
         np.testing.assert_array_equal(a["cls_gt"], b["cls_gt"])
         d = np.abs(a["P"] - b["P"])
         assert d.max() > 0 and d.max() <= 0.05 + 1e-6
+        # fresh draw each epoch: the same batch differs across passes
+        b2 = next(iter(it_noisy))
+        assert np.abs(b["P"] - b2["P"]).max() > 0
+        np.testing.assert_array_equal(b["cls_gt"], b2["cls_gt"])
 
     def test_noise_off_in_eval_mode(self, disk_dataset):
         root, gen, train, test = disk_dataset

@@ -58,10 +58,25 @@ class TestBundleRoundtrip:
                    "b/bias": np.ones((4,), np.float32)}
         prefix = str(tmp_path / "ck")
         tf_bundle.write_bundle(prefix, tensors)
-        idx = tf_bundle.read_bundle_index(prefix)
+        idx, num_shards = tf_bundle.read_bundle_index(prefix)
         assert set(idx) == set(tensors)
+        assert num_shards == 1
         e = idx["a/weights"]
         assert e.shape == (4, 4) and e.size == 64 and e.dtype_code == 1
+
+    def test_header_num_shards_drives_suffix(self, tmp_path):
+        """A 2-shard header with every tensor in shard 0 (legal for
+        sharded Savers) must open .data-00000-of-00002 — inferring the
+        count from max(shard_id) would look for -of-00001 and fail."""
+        tensors = {"w": np.arange(12, dtype=np.float32).reshape(3, 4)}
+        prefix = str(tmp_path / "ck")
+        tf_bundle.write_bundle(prefix, tensors, num_shards=2)
+        import os
+        assert os.path.exists(prefix + ".data-00000-of-00002")
+        _, num_shards = tf_bundle.read_bundle_index(prefix)
+        assert num_shards == 2
+        out = tf_bundle.read_bundle(prefix)
+        np.testing.assert_array_equal(out["w"], tensors["w"])
 
     def test_bad_magic_rejected(self, tmp_path):
         p = tmp_path / "junk.index"
@@ -74,7 +89,7 @@ class TestBundleRoundtrip:
         tf_bundle.write_bundle(prefix, {"v": np.zeros((8,), np.float32)})
         # corrupt the data shard length check by truncating the index's
         # recorded shape via a fresh bundle whose data we then shrink
-        entries = tf_bundle.read_bundle_index(prefix)
+        entries, _ = tf_bundle.read_bundle_index(prefix)
         assert entries["v"].size == 32
 
 
