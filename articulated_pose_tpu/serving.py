@@ -85,6 +85,7 @@ class PosePredictor:
             fits = fit_frame_batch(pose_pred, P, key, self.pose_cfg)
             return pred, fits
 
+        self._data_axis = None
         if mesh is not None:
             # SPMD data-parallel serving: batch axis sharded over the
             # mesh's 'data' axis, kernels per-device under shard_map
@@ -95,6 +96,7 @@ class PosePredictor:
 
             self._run, self.variables, self._batch_sharding = \
                 shard_serving_setup(run, self.variables, mesh)
+            self._data_axis = int(mesh.shape["data"])
         else:
             self._run = jax.jit(run)
             self._batch_sharding = None
@@ -105,6 +107,10 @@ class PosePredictor:
         distinct N (jit caches one executable per shape)."""
         P = jnp.asarray(clouds, jnp.float32)
         if self._batch_sharding is not None:
+            if len(P) % self._data_axis:
+                raise ValueError(
+                    f"batch {len(P)} must divide by the mesh's data axis "
+                    f"({self._data_axis}) for SPMD serving — pad the batch")
             P = jax.device_put(P, self._batch_sharding)
         pred, fits = self._run(self.variables, P, self._key)
         pred, fits = jax.device_get((pred, fits))

@@ -91,6 +91,9 @@ class TestServing:
             a.R.reshape(-1, 3, 3), (0, 2, 1))
         np.testing.assert_allclose(RRt, np.broadcast_to(np.eye(3), RRt.shape),
                                    atol=1e-3)
+        # indivisible batch fails loudly, not with a GSPMD trace error
+        with pytest.raises(ValueError, match="data axis"):
+            sharded(batch["P"][:6])
 
     def test_missing_checkpoint_raises(self, tmp_path):
         cfg = NetworkConfig(n_max_parts=2)
