@@ -188,7 +188,16 @@ def _ballq_butterfly_packed_kernel(radius: float, nsample: int, n_valid: int,
     scl = 1023.0 / ext
     qp = jnp.clip(jnp.floor((pts - mn[None, :]) * scl[None, :] + 0.5),
                   0.0, 1023.0).astype(jnp.int32)               # (N, 3)
-    packed_vec = qp[:, 0] | (qp[:, 1] << 10) | (qp[:, 2] << 20)
+    # Pack via a lane-wise shift + minor-dim sum, NOT per-lane extracts
+    # (`qp[:, 0] | (qp[:, 1] << 10) | (qp[:, 2] << 20)`): the extract+
+    # shift+or chain miscompiles on current Mosaic — the z field comes
+    # out 1..7 units LOW on ~0.6% of points (isolated to `qp[:, 2] << 20`
+    # broadcast alone; the identical expression OR'd with another lane
+    # extract compiles correctly).  The sum form measured exact on chip
+    # up to the benign half-quantum boundary flips from the VPU's 1-ulp
+    # reciprocal in `scl`.  See docs/perf_round3.md (Mosaic findings).
+    lane_sh = lax.broadcasted_iota(jnp.int32, (N, 3), 1) * 10
+    packed_vec = jnp.sum(qp << lane_sh, axis=1)
     p1 = jnp.broadcast_to(packed_vec[None, :], (BM, N))
     planes = [p1]
     if emit_idx:

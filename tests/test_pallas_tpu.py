@@ -176,8 +176,10 @@ class TestThreeNNOnTPU:
 
     def test_packed_key_fp1_shape(self, rng):
         """packed=True compiled on chip at the FP1 shape: choices and
-        emitted distances stay within the 2^-8 key-truncation band of
-        the exact oracle (same bound the interpret tier pins)."""
+        emitted distances stay within the key-truncation band of the
+        exact oracle, plus the f32 dot-form cancellation the compiled
+        kernel adds (the interpret tier pins tighter bounds because
+        XLA-CPU's d2 rounding happens to cancel less)."""
         from articulated_pose_tpu import ops
         from articulated_pose_tpu.ops.pallas import three_nn_pallas
 
@@ -193,9 +195,16 @@ class TestThreeNNOnTPU:
         d_true = np.stack([
             np.take_along_axis(((q[b, :, None] - p[b][None]) ** 2).sum(-1),
                                i_got[b], axis=1) for b in range(B)])
-        assert (d_got <= d_true * (1 + 1e-5) + 1e-7).all()
-        assert (d_got >= d_true * (1 - 2 ** -7) - 1e-7).all()
-        band = np.maximum(d_ref * 2 ** -7, 1e-7)
+        # d2 is computed on-chip in dot form (|q|^2+|p|^2-2q.p, f32):
+        # catastrophic cancellation leaves ~1e-6 ABSOLUTE error for
+        # unit-cube clouds (measured 7.1e-7 max on chip), on top of the
+        # key truncation which only lowers (< 2^-7 relative).
+        assert (d_got <= d_true * (1 + 1e-5) + 4e-6).all()
+        assert (d_got >= d_true * (1 - 2 ** -7) - 4e-6).all()
+        # selection order is by truncated keys, so per-slot choices can
+        # exceed the exact slot by a few truncation quanta when ties
+        # compound across the 3 sweeps (measured 2.8% max = 3.5 quanta)
+        band = d_ref * (4 * 2 ** -7) + 1e-5
         assert (d_true <= d_ref + band).all()
 
     def test_streaming_16k(self, rng):
