@@ -298,10 +298,8 @@ def joint_transformation_estimate_alt(src0, tgt0, m0, src1, tgt1, m1,
 
     w0 = m0.astype(src0.dtype)
     w1 = m1.astype(src1.dtype)
-    scale0 = umeyama.pairwise_scale(src0, tgt0, w0)
-    scale1 = umeyama.pairwise_scale(src1, tgt1, w1)
-    scale0_inv = umeyama.pairwise_scale(tgt0, src0, w0)
-    scale1_inv = umeyama.pairwise_scale(tgt1, src1, w1)
+    scale0, scale0_inv = umeyama.pairwise_scale_both(src0, tgt0, w0)
+    scale1, scale1_inv = umeyama.pairwise_scale_both(src1, tgt1, w1)
 
     def centered(x, w):
         mu = jnp.sum(x * w[:, None], 0) / jnp.maximum(jnp.sum(w), 1.0)
@@ -345,10 +343,8 @@ def joint_transformation_estimate(src0, tgt0, m0, src1, tgt1, m1,
 
     w0 = m0.astype(src0.dtype)
     w1 = m1.astype(src1.dtype)
-    scale0 = umeyama.pairwise_scale(src0, tgt0, w0)
-    scale1 = umeyama.pairwise_scale(src1, tgt1, w1)
-    scale0_inv = umeyama.pairwise_scale(tgt0, src0, w0)
-    scale1_inv = umeyama.pairwise_scale(tgt1, src1, w1)
+    scale0, scale0_inv = umeyama.pairwise_scale_both(src0, tgt0, w0)
+    scale1, scale1_inv = umeyama.pairwise_scale_both(src1, tgt1, w1)
 
     def centered(x, w):
         mu = jnp.sum(x * w[:, None], 0) / jnp.maximum(jnp.sum(w), 1.0)

@@ -148,6 +148,44 @@ def kabsch_rotation(source: jax.Array, target: jax.Array,
     return _horn_rotation(M)
 
 
+def _pairwise_sums(source: jax.Array, target: jax.Array,
+                   w: Optional[jax.Array], max_exact: int):
+    """(A, B, C) = (Σww·a², Σww·b², Σww·a·b) over the pair set, where
+    a/b are source/target pair distances.  Shared by pairwise_scale
+    (= C/A) and its inverse direction (= C/B) so both scales cost one
+    distance sweep."""
+    N = source.shape[0]
+    if N <= max_exact:
+        ds = source[:, None, :] - source[None, :, :]
+        dt = target[:, None, :] - target[None, :, :]
+        a = jnp.sqrt(jnp.maximum(jnp.sum(ds * ds, -1), 0.0))
+        b = jnp.sqrt(jnp.maximum(jnp.sum(dt * dt, -1), 0.0))
+        if w is not None:
+            ww = w[:, None] * w[None, :]
+            return (jnp.sum(ww * a * a), jnp.sum(ww * b * b),
+                    jnp.sum(ww * a * b))
+        return jnp.sum(a * a), jnp.sum(b * b), jnp.sum(a * b)
+
+    # strides spread over [1, N): small strides pair near-neighbors in
+    # the (valid-first) buffers, large ones span the cloud.  (A stacked-
+    # rolls single-reduction variant was A/B'd and measured WORSE —
+    # 2.7 vs 1.9 ms at B=64, N=2048 on v5e — the loop form stays.)
+    strides = [max(1, (k * N) // 33) for k in range(1, 17)]
+    A = jnp.zeros((), jnp.float32)
+    B = jnp.zeros((), jnp.float32)
+    C = jnp.zeros((), jnp.float32)
+    for k in strides:
+        ds = source - jnp.roll(source, k, axis=0)
+        dt = target - jnp.roll(target, k, axis=0)
+        a = jnp.sqrt(jnp.maximum(jnp.sum(ds * ds, -1), 0.0))
+        b = jnp.sqrt(jnp.maximum(jnp.sum(dt * dt, -1), 0.0))
+        ww = 1.0 if w is None else w * jnp.roll(w, k, axis=0)
+        A = A + jnp.sum(ww * a * a)
+        B = B + jnp.sum(ww * b * b)
+        C = C + jnp.sum(ww * a * b)
+    return A, B, C
+
+
 def pairwise_scale(source: jax.Array, target: jax.Array,
                    w: Optional[jax.Array] = None,
                    max_exact: int = 256) -> jax.Array:
@@ -161,36 +199,26 @@ def pairwise_scale(source: jax.Array, target: jax.Array,
     sizes (N=2048, ×11 calls/frame) it dominated the whole pose stage —
     so the sums run over a fixed set of cyclic-stride pairs (i, i+k),
     a deterministic O(N·K) subsample of the same ratio estimator.
+    (The unused target-distance sum is dead-code-eliminated by XLA.)
     """
-    N = source.shape[0]
-    if N <= max_exact:
-        ds = source[:, None, :] - source[None, :, :]
-        dt = target[:, None, :] - target[None, :, :]
-        a = jnp.sqrt(jnp.maximum(jnp.sum(ds * ds, -1), 0.0))
-        b = jnp.sqrt(jnp.maximum(jnp.sum(dt * dt, -1), 0.0))
-        if w is not None:
-            ww = w[:, None] * w[None, :]
-            num = jnp.sum(ww * a * b)
-            den = jnp.sum(ww * a * a)
-            return num / (den + 1e-6)
-        return jnp.sum(a * b) / (jnp.sum(a * a) + 1e-6)
+    A, _, C = _pairwise_sums(source, target, w, max_exact)
+    return C / (A + 1e-6)
 
-    # strides spread over [1, N): small strides pair near-neighbors in
-    # the (valid-first) buffers, large ones span the cloud.  (A stacked-
-    # rolls single-reduction variant was A/B'd and measured WORSE —
-    # 2.7 vs 1.9 ms at B=64, N=2048 on v5e — the loop form stays.)
-    strides = [max(1, (k * N) // 33) for k in range(1, 17)]
-    num = jnp.zeros((), jnp.float32)
-    den = jnp.zeros((), jnp.float32)
-    for k in strides:
-        ds = source - jnp.roll(source, k, axis=0)
-        dt = target - jnp.roll(target, k, axis=0)
-        a = jnp.sqrt(jnp.maximum(jnp.sum(ds * ds, -1), 0.0))
-        b = jnp.sqrt(jnp.maximum(jnp.sum(dt * dt, -1), 0.0))
-        ww = 1.0 if w is None else w * jnp.roll(w, k, axis=0)
-        num = num + jnp.sum(ww * a * b)
-        den = den + jnp.sum(ww * a * a)
-    return num / (den + 1e-6)
+
+def pairwise_scale_both(source: jax.Array, target: jax.Array,
+                        w: Optional[jax.Array] = None,
+                        max_exact: int = 256) -> Tuple[jax.Array, jax.Array]:
+    """(pairwise_scale(source→target), pairwise_scale(target→source)) from
+    ONE pair-distance sweep.
+
+    Both directions use the same positional pair set and weights, so the
+    three sums A/B/C serve both ratios: forward = C/A, inverse = C/B.
+    Matches two independent pairwise_scale calls to within multiply
+    reassociation (≤1 ulp on C); halves the dominant distance cost at
+    the joint-estimator call sites (lm.py), which need both directions.
+    """
+    A, B, C = _pairwise_sums(source, target, w, max_exact)
+    return C / (A + 1e-6), C / (B + 1e-6)
 
 
 def transform_pts(source: jax.Array, target: jax.Array,
