@@ -33,6 +33,10 @@ class EvalReport:
     overall: Dict[str, float]
     n_frames: int
     n_dropped: int
+    # relative inter-part ("joint state") errors, one dict per joint
+    # j = 1..K-1 (eval_pose_err.py:307-335); empty unless evaluate_fits
+    # was given GT global poses.
+    per_joint: List[Dict[str, float]] = dataclasses.field(default_factory=list)
 
     def summary(self) -> str:
         lines = [f"frames: {self.n_frames} (dropped {self.n_dropped})"]
@@ -46,6 +50,13 @@ class EvalReport:
         lines.append(f"overall: rot {o['rot_err_deg_mean']:.2f}° "
                      f"trans {o['trans_err_mean']:.4f} "
                      f"5°5cm {o['acc_5deg5cm']:.3f}")
+        for j, stats in enumerate(self.per_joint):
+            bits = [f"joint {j + 1}:"]
+            if "rel_rot_err_deg_mean" in stats:
+                bits.append(f"rel rot {stats['rel_rot_err_deg_mean']:.2f}°")
+            if "rel_trans_err_mean" in stats:
+                bits.append(f"rel trans {stats['rel_trans_err_mean']:.4f}")
+            lines.append(" ".join(bits))
         return "\n".join(lines)
 
 
@@ -249,29 +260,128 @@ def joint_errors(pred_line: Dict, gt_axis: np.ndarray, gt_point: np.ndarray):
     }
 
 
+def relative_pose_errors(fit: Dict, gt_part: Dict, gt_global: Optional[Dict],
+                         n_parts: int, *,
+                         nocs_pred: Optional[np.ndarray] = None,
+                         P: Optional[np.ndarray] = None,
+                         cls_pred: Optional[np.ndarray] = None,
+                         naocs_fit: bool = False
+                         ) -> List[Dict[str, float]]:
+    """Relative inter-part ("joint state") pose errors for ONE frame —
+    the reference's eval_pose_err.py:307-335 family, one dict per joint
+    j = 1..n_parts-1.
+
+    Relative rotation (reported per joint for every revolute category):
+    ``rot_diff_degree(R0_predᵀ·Rj_pred, R0_gtᵀ·Rj_gt)`` with the GT pair
+    taken from the part-NOCS GT poses (``gt_part``, :323-325).
+
+    Relative translation (reported for prismatic drawers): the GT delta
+    is ``tj − t0`` of the *global-NOCS* GT poses (``gt_global``, :326-330
+    — both parts share the NAOCS frame, so the difference is a real
+    camera-space displacement).  The predicted delta is
+
+    - NAOCS fits (naocs_fit=True): ``tj_pred − t0_pred`` (:317-318);
+    - part-NOCS fits: the part-boundary trick (:319-321) — part j's
+      input points are mapped into the base's canonical frame with the
+      fitted ``(R0, t0)`` (rotation+translation only — the reference's
+      ``compose_rt`` carries no scale, a quirk kept for parity), and the
+      drawer extension is ``min x − (−scale_pred_x/2 + 0.5)`` where
+      ``scale_pred`` is part j's predicted amodal NOCS extent
+      (:263-266), projected through ``R0·[d, 0, 0]``.
+
+    Entries are NaN when a term is uncomputable (missing GT part, empty
+    predicted part) — callers scrub like the reference's
+    ``r_diff_arr[isnan] = 0`` (:358) or drop, but we *count* them.
+    """
+    out: List[Dict[str, float]] = []
+    R0p = np.asarray(fit["R"][0])
+    t0p = np.asarray(fit["t"][0])
+    for j in range(1, n_parts):
+        entry: Dict[str, float] = {}
+        # --- relative rotation -------------------------------------------
+        if gt_part["R"][0] is not None and gt_part["R"][j] is not None:
+            r_pred = R0p.T @ np.asarray(fit["R"][j])
+            r_gt = np.asarray(gt_part["R"][0]).T @ np.asarray(gt_part["R"][j])
+            entry["rel_rot_err_deg"] = tr.rot_diff_degree(r_gt, r_pred)
+        else:
+            entry["rel_rot_err_deg"] = float("nan")
+        # --- relative translation ----------------------------------------
+        t_err = float("nan")
+        if (gt_global is not None and gt_global["t"][0] is not None
+                and gt_global["t"][j] is not None):
+            t_diff_gt = np.asarray(gt_global["t"][j]) - np.asarray(
+                gt_global["t"][0])
+            t_diff_pred = None
+            if naocs_fit:
+                t_diff_pred = np.asarray(fit["t"][j]) - t0p
+            elif (nocs_pred is not None and P is not None
+                  and cls_pred is not None and np.all(np.isfinite(R0p))):
+                sel = cls_pred == j
+                if sel.sum() >= 1:
+                    nj = np.asarray(nocs_pred)[sel]
+                    if nj.shape[1] != 3:
+                        nj = nj[:, 3 * j:3 * (j + 1)]
+                    scale_pred_x = 2.0 * np.max(np.abs(nj[:, 0] - 0.5))
+                    canon = -scale_pred_x / 2.0 + 0.5
+                    shifted = (np.asarray(P)[sel] - t0p) @ R0p  # R0ᵀ(p−t0)
+                    dynam = float(np.min(shifted[:, 0]))
+                    t_diff_pred = R0p @ np.array([dynam - canon, 0.0, 0.0])
+            if t_diff_pred is not None:
+                t_err = float(np.linalg.norm(t_diff_gt - t_diff_pred))
+        entry["rel_trans_err"] = t_err
+        out.append(entry)
+    return out
+
+
 def evaluate_fits(fits: Sequence[Dict], gts: Sequence[Dict], n_parts: int,
                   *, nocs_pred: Optional[Sequence] = None,
                   nocs_gt: Optional[Sequence] = None,
                   cls_list: Optional[Sequence] = None,
-                  miou_nres: int = 50) -> EvalReport:
+                  miou_nres: int = 50,
+                  gts_global: Optional[Sequence] = None,
+                  P_list: Optional[Sequence] = None,
+                  cls_pred_list: Optional[Sequence] = None,
+                  naocs_fit: bool = False) -> EvalReport:
     """Aggregate pose metrics over frames.
 
     fits[i]: {"R": (K,3,3), "s": (K,), "t": (K,3)} predicted poses
     gts[i]:  same keys with GT values (entries may be None → dropped)
     Optional nocs_pred/nocs_gt/cls_list (per frame, (N,3K)/(N,3)/(N,))
     enable 3D mIoU of posed NOCS-extent boxes.
+
+    Passing gts_global (per-frame GLOBAL-NOCS GT poses, same schema as
+    gts) additionally aggregates the relative inter-part errors
+    (relative_pose_errors) into report.per_joint — the predicted
+    relative translation for part-NOCS fits also needs P_list +
+    cls_pred_list (argmax segmentation) for the part-boundary trick.
     """
     K = n_parts
     rot = [[] for _ in range(K)]
     trans = [[] for _ in range(K)]
     scale = [[] for _ in range(K)]
     miou = [[] for _ in range(K)]
+    rel_rot = [[] for _ in range(K - 1)]
+    rel_trans = [[] for _ in range(K - 1)]
     dropped = 0
 
     for i, (fit, gt) in enumerate(zip(fits, gts)):
         if fit is None or gt is None:
             dropped += 1
             continue
+        if gts_global is not None and gts_global[i] is not None:
+            rel = relative_pose_errors(
+                fit, gt, gts_global[i], K,
+                nocs_pred=None if nocs_pred is None else nocs_pred[i],
+                P=None if P_list is None else P_list[i],
+                cls_pred=None if cls_pred_list is None else cls_pred_list[i],
+                naocs_fit=naocs_fit)
+            for j, e in enumerate(rel):
+                # NaN scrub like the reference's r_diff_arr[isnan]=0
+                # (eval_pose_err.py:358) — but only for computed terms
+                if np.isfinite(e["rel_rot_err_deg"]):
+                    rel_rot[j].append(e["rel_rot_err_deg"])
+                if np.isfinite(e["rel_trans_err"]):
+                    rel_trans[j].append(e["rel_trans_err"])
         for j in range(K):
             if gt["R"][j] is None:
                 continue
@@ -315,5 +425,23 @@ def evaluate_fits(fits: Sequence[Dict], gts: Sequence[Dict], n_parts: int,
     all_miou = [x for part in miou for x in part]
     if all_miou:
         overall["miou_mean"] = float(np.mean(all_miou))
+    per_joint: List[Dict[str, float]] = []
+    if gts_global is not None:
+        for j in range(K - 1):
+            stats = {}
+            if rel_rot[j]:
+                stats["rel_rot_err_deg_mean"] = float(np.mean(rel_rot[j]))
+                stats["n_rel_rot"] = len(rel_rot[j])
+            if rel_trans[j]:
+                stats["rel_trans_err_mean"] = float(np.mean(rel_trans[j]))
+                stats["n_rel_trans"] = len(rel_trans[j])
+            per_joint.append(stats)
+        all_rr = [x for jj in rel_rot for x in jj]
+        all_rt = [x for jj in rel_trans for x in jj]
+        if all_rr:
+            overall["rel_rot_err_deg_mean"] = float(np.mean(all_rr))
+        if all_rt:
+            overall["rel_trans_err_mean"] = float(np.mean(all_rt))
     return EvalReport(per_part=per_part, overall=overall,
-                      n_frames=len(fits) - dropped, n_dropped=dropped)
+                      n_frames=len(fits) - dropped, n_dropped=dropped,
+                      per_joint=per_joint)

@@ -86,6 +86,13 @@ def partition_by_class(cls: jax.Array, n_parts: int):
     """cls (N,) int -> (order (K, N) valid-first index buffers, cnt (K,)).
     Fixed-size replacement for per-part np.where.
 
+    PRECONDITION: every cls value must lie in [0, n_parts).  Out-of-range
+    labels (e.g. an ignore label of -1) are clamped into range here —
+    without the clamp a negative label would sort before class 0 and
+    shift every row's start offset, corrupting ALL parts' buffers (not
+    just its own).  Callers that carry genuine ignore labels should mask
+    those points out before calling.
+
     Row j's first cnt[j] entries are part j's member indices in ascending
     index order; entries beyond cnt[j] are arbitrary in-range indices
     (callers mask on cnt).  ONE stable argsort of the class vector groups
@@ -100,6 +107,7 @@ def partition_by_class(cls: jax.Array, n_parts: int):
     roll+select stages materialize HBM intermediates; a fused sort wins.)
     """
     N = cls.shape[0]
+    cls = jnp.clip(cls, 0, n_parts - 1)
     order_all = jnp.argsort(cls, stable=True).astype(jnp.int32)   # (N,)
     cnts = jnp.sum((cls[None, :] == jnp.arange(
         n_parts, dtype=cls.dtype)[:, None]).astype(jnp.int32), axis=1)

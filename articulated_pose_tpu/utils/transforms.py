@@ -137,3 +137,30 @@ def dist_between_3d_lines(p1, e1, p2, e2) -> float:
         e = e1 / max(np.linalg.norm(e1), EPS)
         return float(np.linalg.norm(d - np.dot(d, e) * e))
     return float(abs(np.dot(orth, p1 - p2)) / n)
+
+
+def estimate_joint_from_correspondences(source_pts: np.ndarray,
+                                        rotated_pts: np.ndarray):
+    """Joint axis + a point on it from point correspondences across an
+    articulation (lib/d3_utils.py:307-328 ``estimate_joint_HL``).
+
+    Each displacement d_i = rotated_i − source_i of a point rotating
+    about a fixed line is perpendicular to the axis, so the axis is the
+    null direction of Σ d_i d_iᵀ (smallest eigenvector).  Each midpoint
+    m_i = (source_i + rotated_i)/2 satisfies d_i·(m_i − c) = 0 for any
+    axis point c, so c solves the least-squares system D c = D·m
+    (rows d_iᵀ), decoupled from the axis estimate.  Vectorized; the
+    reference loops per point and eig()s the non-symmetrized matrix.
+
+    Returns (axis (3,) unit — sign arbitrary, position (3,) on the line).
+    """
+    source_pts = np.asarray(source_pts, dtype=np.float64)
+    rotated_pts = np.asarray(rotated_pts, dtype=np.float64)
+    delta = rotated_pts - source_pts                      # (n, 3)
+    mid = 0.5 * (source_pts + rotated_pts)
+    CC = delta.T @ delta                                  # Σ d dᵀ, symmetric
+    w, v = np.linalg.eigh(CC)
+    axis = v[:, 0] / max(np.linalg.norm(v[:, 0]), EPS)    # smallest eigval
+    b = np.sum(delta * mid, axis=1)                       # d_i · m_i
+    position = np.linalg.pinv(CC) @ (delta.T @ b)
+    return axis, position

@@ -186,6 +186,7 @@ def cmd_pose_eval(args, do_pose=True):
     key = jax.random.PRNGKey(cfg.seed)
     naocs_mode = args.nocs == "NAOCS"
     fits, gts = [], []
+    gts_global, P_l, cls_pred_l = [], [], []
     nocs_pred_l, nocs_gt_l, cls_l = [], [], []
     joint_errs = []
     seg_miou, seg_miou_h = [], []
@@ -230,6 +231,28 @@ def cmd_pose_eval(args, do_pose=True):
                 g = {"R": [p["R"] if p else None for p in parts],
                      "s": [p["s"] if p else None for p in parts],
                      "t": [p["t"] if p else None for p in parts]}
+            # GLOBAL-NOCS GT poses for the relative inter-part metrics
+            # (eval_pose_err.py:326-330 uses the NAOCS GT rts for the
+            # translation delta — both parts share that frame)
+            if args.synthetic:
+                gg = {"R": [], "s": [], "t": []}
+                for j in range(cfg.n_max_parts):
+                    s_, R_, t_ = trn.decompose_similarity(
+                        test_it.frame_gts[fi].rt_naocs2cam[j])
+                    gg["R"].append(R_)
+                    gg["s"].append(s_)
+                    gg["t"].append(t_)
+            elif "nocs_gt_g" in batch:
+                gparts = compute_gt_poses(batch["nocs_gt_g"][i],
+                                          batch["P"][i], cls, cfg.n_max_parts)
+                gg = {"R": [p["R"] if p else None for p in gparts],
+                      "s": [p["s"] if p else None for p in gparts],
+                      "t": [p["t"] if p else None for p in gparts]}
+            else:
+                gg = None
+            gts_global.append(gg)
+            P_l.append(np.asarray(batch["P"][i]))
+            cls_pred_l.append(np.argmax(np.asarray(pred["W"][i]), axis=-1))
             if "P_center" in batch:
                 # BMVC15 real data: errors are reported in metric camera
                 # space (lib/prediction_io.py:97-129 P_center/P_scale)
@@ -243,6 +266,9 @@ def cmd_pose_eval(args, do_pose=True):
                     if g["R"][j] is not None:
                         _, g["s"][j], g["t"][j] = denormalize_pose(
                             g["R"][j], g["s"][j], g["t"][j], c, sc)
+                    if gg is not None and gg["R"][j] is not None:
+                        _, gg["s"][j], gg["t"][j] = denormalize_pose(
+                            gg["R"][j], gg["s"][j], gg["t"][j], c, sc)
             gts.append(g)
             if naocs_mode:
                 gp = pred["gocs_per_point"][i]
@@ -288,7 +314,9 @@ def cmd_pose_eval(args, do_pose=True):
                                                        gl["point"]))
             fi += 1
     report = evaluate_fits(fits, gts, cfg.n_max_parts, nocs_pred=nocs_pred_l,
-                           nocs_gt=nocs_gt_l, cls_list=cls_l)
+                           nocs_gt=nocs_gt_l, cls_list=cls_l,
+                           gts_global=gts_global, P_list=P_l,
+                           cls_pred_list=cls_pred_l, naocs_fit=naocs_mode)
     if seg_miou:
         report.overall["seg_miou"] = float(np.mean(seg_miou))
         report.overall["seg_miou_hungarian"] = float(np.mean(seg_miou_h))
@@ -306,6 +334,7 @@ def cmd_pose_eval(args, do_pose=True):
     os.makedirs(work, exist_ok=True)
     with open(out_path, "w") as f:
         json.dump({"per_part": report.per_part, "overall": report.overall,
+                   "per_joint": report.per_joint,
                    "n_frames": report.n_frames, "n_dropped": report.n_dropped},
                   f, indent=1)
     print("wrote", out_path)

@@ -33,6 +33,14 @@ def main():
     ap.add_argument("--joint-types", default=None,
                     help="comma list, e.g. prismatic,prismatic,prismatic")
     ap.add_argument("--noise", type=float, default=0.005)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="procedural-generator seed (distinct seeds = "
+                         "distinct category instances; the 5-category "
+                         "sweep gives each category its own)")
+    ap.add_argument("--category", default=None,
+                    help="registry category name recorded in the report "
+                         "(and source of parts/joint_types if --parts is "
+                         "not given explicitly)")
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--full-rotation", action="store_true",
                     help="uniform SO(3) cameras (harder; default is the "
@@ -73,6 +81,12 @@ def main():
     from articulated_pose_tpu.train.state import create_train_state, make_eval_step
 
     K = args.parts
+    if args.category and "--parts" not in sys.argv[1:]:
+        from articulated_pose_tpu.registry import get_category
+        spec = get_category(args.category)
+        K = spec.n_parts
+        if not args.joint_types:
+            args.joint_types = ",".join(spec.joint_types)
     if args.joint_types:
         joint_types = tuple(args.joint_types.split(","))
         assert len(joint_types) == K - 1, "need n_parts-1 joint types"
@@ -89,7 +103,7 @@ def main():
                                     if args.f32_stages else ()),
                         ball_query_packed=args.packed_ballq)
     gen = SyntheticArticulated(n_parts=K, points_per_part=500,
-                               joint_types=joint_types, seed=0,
+                               joint_types=joint_types, seed=args.seed,
                                full_rotation=args.full_rotation)
     dg = DeviceSynthetic(gen, num_points=args.points, noise=args.noise)
 
@@ -192,6 +206,8 @@ def main():
     with open(os.path.join(args.work, "report.json"), "w") as f:
         json.dump({"per_part": report.per_part, "overall": report.overall,
                    "seg_acc": float(np.mean(seg_acc)),
+                   "category": args.category, "seed": args.seed,
+                   "n_parts": K, "joint_types": list(joint_types),
                    "compute_dtype": args.dtype,
                    "train_steps": args.steps, "train_seconds": train_s,
                    "train_clouds_per_sec": args.steps * args.batch / train_s},

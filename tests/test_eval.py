@@ -179,3 +179,95 @@ class TestGTandEval:
                               gt.joint_points_cam[0])
         assert errs["axis_err_deg"] < 2.0
         assert errs["line_dist"] < 0.06
+
+
+class TestRelativePoseErrors:
+    """relative_pose_errors — the reference's inter-part 'joint state'
+    metrics (evaluation/eval_pose_err.py:307-335)."""
+
+    def _poses(self, Rs, ss, ts):
+        return {"R": list(Rs), "s": list(ss), "t": list(ts)}
+
+    def test_revolute_exact_and_perturbed(self):
+        rng = np.random.RandomState(3)
+        R0 = tr.random_rotation(rng)
+        axis = rng.randn(3)
+        axis /= np.linalg.norm(axis)
+        R1 = R0 @ tr.axis_angle_matrix(axis, 0.9)
+        gt = self._poses([R0, R1], [1.0, 1.0], [np.zeros(3)] * 2)
+        # exact fit -> zero relative rotation error
+        rel = E.relative_pose_errors(gt, gt, gt, 2)
+        assert abs(rel[0]["rel_rot_err_deg"]) < 1e-4
+        # perturb the moving part by a known extra angle: the relative
+        # rotation error must read exactly that angle
+        delta = 12.5
+        pert = rng.randn(3)
+        pert /= np.linalg.norm(pert)
+        R1p = R1 @ tr.axis_angle_matrix(pert, np.deg2rad(delta))
+        fit = self._poses([R0, R1p], [1.0, 1.0], [np.zeros(3)] * 2)
+        rel = E.relative_pose_errors(fit, gt, gt, 2)
+        np.testing.assert_allclose(rel[0]["rel_rot_err_deg"], delta,
+                                   atol=1e-3)
+
+    def test_prismatic_boundary_roundtrip(self):
+        """Drawer scene where part NOCS == global NOCS: the boundary
+        trick recovers the exact camera-space slide, so perfect
+        predictions give zero relative translation error."""
+        rng = np.random.RandomState(5)
+        delta = 0.17
+        # base occupies [0.3,0.7]^3 of the global frame, drawer (closed)
+        # [0.1,0.3]x[0.4,0.6]^2; global->camera identity; drawer slides
+        # by -delta along canonical x
+        base = rng.rand(200, 3) * 0.4 + 0.3
+        drawer_canon = rng.rand(150, 3) * np.array([0.2, 0.2, 0.2]) \
+            + np.array([0.1, 0.4, 0.4])
+        # make sure the bbox is tight so scale_pred is exact
+        drawer_canon[0] = [0.1, 0.4, 0.4]
+        drawer_canon[1] = [0.3, 0.6, 0.6]
+        P = np.concatenate([base, drawer_canon - [delta, 0, 0]])
+        cls = np.concatenate([np.zeros(200, int), np.ones(150, int)])
+        nocs = np.concatenate([base, drawer_canon])   # part NOCS == NAOCS
+        eye = np.eye(3)
+        fit = self._poses([eye, eye], [1.0, 1.0],
+                          [np.zeros(3), np.array([-delta, 0.0, 0.0])])
+        gt_part = fit
+        gt_global = self._poses([eye, eye], [1.0, 1.0],
+                                [np.zeros(3), np.array([-delta, 0.0, 0.0])])
+        rel = E.relative_pose_errors(fit, gt_part, gt_global, 2,
+                                     nocs_pred=nocs, P=P, cls_pred=cls)
+        assert rel[0]["rel_trans_err"] < 1e-6
+        assert abs(rel[0]["rel_rot_err_deg"]) < 1e-4
+        # wrong slide amount in the GT -> error reads the difference
+        gt_global_wrong = self._poses(
+            [eye, eye], [1.0, 1.0],
+            [np.zeros(3), np.array([-delta - 0.05, 0.0, 0.0])])
+        rel = E.relative_pose_errors(fit, gt_part, gt_global_wrong, 2,
+                                     nocs_pred=nocs, P=P, cls_pred=cls)
+        np.testing.assert_allclose(rel[0]["rel_trans_err"], 0.05, atol=1e-6)
+
+    def test_naocs_fit_translation_delta(self):
+        eye = np.eye(3)
+        fit = self._poses([eye, eye], [1.0, 1.0],
+                          [np.zeros(3), np.array([0.1, 0.0, 0.0])])
+        gt_global = self._poses([eye, eye], [1.0, 1.0],
+                                [np.zeros(3), np.array([0.3, 0.0, 0.0])])
+        rel = E.relative_pose_errors(fit, fit, gt_global, 2, naocs_fit=True)
+        np.testing.assert_allclose(rel[0]["rel_trans_err"], 0.2, atol=1e-7)
+
+    def test_evaluate_fits_aggregates_per_joint(self):
+        rng = np.random.RandomState(11)
+        K = 3
+        frames = []
+        for _ in range(4):
+            Rs = [tr.random_rotation(rng) for _ in range(K)]
+            frames.append(self._poses(Rs, [1.0] * K,
+                                      [rng.rand(3) for _ in range(K)]))
+        report = E.evaluate_fits(frames, frames, K, gts_global=frames,
+                                 naocs_fit=True)
+        assert len(report.per_joint) == K - 1
+        for stats in report.per_joint:
+            assert stats["rel_rot_err_deg_mean"] < 1e-4
+            assert stats["rel_trans_err_mean"] < 1e-9
+            assert stats["n_rel_rot"] == 4
+        assert report.overall["rel_rot_err_deg_mean"] < 1e-4
+        assert "joint 1" in report.summary()

@@ -436,3 +436,65 @@ class TestBisectionMedian:
         x = jnp.asarray(np.random.RandomState(0).randn(8, 3), jnp.float32)
         got = np.asarray(pipeline.masked_median(x, jnp.zeros((8,))))
         assert not np.isfinite(got).any()
+
+
+class TestJointFromCorrespondences:
+    """estimate_joint_from_correspondences synthetic round-trip — the
+    reference's estimate_joint_HL self-test (lib/d3_utils.py:347-355):
+    rotate points about a known 3D line, recover axis + a point on it."""
+
+    def test_roundtrip_random_lines(self, rng):
+        for trial in range(5):
+            axis = rng.randn(3)
+            axis /= np.linalg.norm(axis)
+            anchor = rng.randn(3)
+            angle = rng.uniform(0.3, 1.2)
+            R = tr.axis_angle_matrix(axis, angle)
+            src = rng.randn(50, 3) * 0.5 + rng.randn(3)
+            rot = (src - anchor) @ R.T + anchor
+            est_axis, est_pos = tr.estimate_joint_from_correspondences(src, rot)
+            assert min(tr.axis_diff_degree(est_axis, axis),
+                       tr.axis_diff_degree(-est_axis, axis)) < 1e-4
+            # est_pos must lie on the GT line: perpendicular distance ~ 0
+            d = est_pos - anchor
+            perp = d - np.dot(d, axis) * axis
+            assert np.linalg.norm(perp) < 1e-6
+
+    def test_noise_robust(self, rng):
+        axis = np.array([0.0, 1.0, 0.0])
+        anchor = np.array([0.2, -0.1, 0.5])
+        R = tr.axis_angle_matrix(axis, 0.7)
+        src = rng.rand(200, 3)
+        rot = (src - anchor) @ R.T + anchor + rng.randn(200, 3) * 1e-3
+        est_axis, est_pos = tr.estimate_joint_from_correspondences(src, rot)
+        assert min(tr.axis_diff_degree(est_axis, axis),
+                   tr.axis_diff_degree(-est_axis, axis)) < 1.0
+        d = est_pos - anchor
+        perp = d - np.dot(d, axis) * axis
+        assert np.linalg.norm(perp) < 0.02
+
+
+class TestPairwiseScaleBoth:
+    """pairwise_scale_both == (pairwise_scale(s,t), pairwise_scale(t,s))
+    on both the exact all-pairs path (N <= max_exact) and the
+    cyclic-stride path (N > max_exact)."""
+
+    @pytest.mark.parametrize("n", [64, 600])  # 256 default max_exact
+    def test_matches_two_calls(self, rng, n):
+        src = jnp.asarray(rng.rand(n, 3), jnp.float32)
+        tgt = jnp.asarray(rng.rand(n, 3) * 1.7 + 0.2, jnp.float32)
+        w = jnp.asarray((rng.rand(n) > 0.3).astype(np.float32))
+        fwd, inv = umeyama.pairwise_scale_both(src, tgt, w)
+        np.testing.assert_allclose(
+            np.asarray(fwd), np.asarray(umeyama.pairwise_scale(src, tgt, w)),
+            rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(inv), np.asarray(umeyama.pairwise_scale(tgt, src, w)),
+            rtol=1e-6)
+
+    def test_unweighted(self, rng):
+        src = jnp.asarray(rng.rand(40, 3), jnp.float32)
+        tgt = 2.0 * src
+        fwd, inv = umeyama.pairwise_scale_both(src, tgt)
+        np.testing.assert_allclose(float(fwd), 2.0, rtol=1e-4)
+        np.testing.assert_allclose(float(inv), 0.5, rtol=1e-4)
