@@ -116,6 +116,10 @@ def make_train_step(config: NetworkConfig, *, jit: bool = True,
         metrics = dict(summaries)
         metrics["grads_finite"] = jnp.all(jnp.asarray(
             [jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)]))
+        # global grad norm: training-health signal, and the quantity the
+        # multichip-equivalence checks compare against the single-device
+        # step (tests/test_train.py, __graft_entry__.dryrun_multichip)
+        metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
     if jit:

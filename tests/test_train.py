@@ -99,6 +99,44 @@ class TestSharding:
         shard_shape = batch_dev["P"].sharding.shard_shape(batch_dev["P"].shape)
         assert shard_shape[0] == 2  # 8 / data-axis size 4
 
+    def test_sharded_step_matches_single_device(self):
+        """dp×tp sharded train step == single-device step numerically.
+
+        Same initial state, batch, and PRNG through (a) the plain jitted
+        step and (b) the GSPMD-sharded step on a data=4,model=2 mesh —
+        loss, grad norm, and BN batch stats must agree to float32
+        collective-reduction tolerance.  A psum/TP-pattern regression
+        that still produces finite numbers fails here (VERDICT r3 #3).
+        """
+        assert jax.device_count() >= 8
+        from articulated_pose_tpu.parallel.mesh import make_mesh, shard_train_setup
+
+        cfg, model, state, batch = tiny_setup(batch=8, num_points=64)
+        # host-side copy so the donated sharded run can't alias the
+        # single-device run's inputs
+        state_host = jax.tree.map(np.asarray, jax.device_get(state))
+        step = make_train_step(cfg, donate=False)
+        new1, m1 = step(state, batch, jax.random.PRNGKey(3))
+
+        # apply_fn/tx are static (non-leaf) fields, preserved by tree.map
+        state2 = jax.tree.map(jnp.asarray, state_host)
+        mesh = make_mesh("data=4,model=2")
+        sharded_step, placed, b_sh = shard_train_setup(
+            make_train_step(cfg, jit=False), state2, mesh)
+        new2, m2 = sharded_step(placed, jax.device_put(batch, b_sh),
+                                jax.random.PRNGKey(3))
+
+        np.testing.assert_allclose(float(m1["total_loss"]),
+                                   float(m2["total_loss"]),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(float(m1["grad_norm"]),
+                                   float(m2["grad_norm"]),
+                                   rtol=1e-4, atol=1e-6)
+        # BN batch stats are global-batch reductions under GSPMD
+        for a, b in zip(jax.tree.leaves(jax.device_get(new1.batch_stats)),
+                        jax.tree.leaves(jax.device_get(new2.batch_stats))):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
     def test_tp_param_actually_sharded(self):
         from articulated_pose_tpu.parallel.mesh import make_mesh, state_shardings
 
