@@ -49,7 +49,8 @@ def sample_and_group(npoint: int, radius: float, nsample: int,
     fps_impl: 'xla' (lax.scan; fuses well inside large programs) or
     'pallas' (VMEM-resident kernel, ops/pallas/fps.py).
     ball_query_impl: 'xla' | 'pallas' (full-N VMEM kernel) | 'stream'
-    (blockwise-N kernel for large clouds, ops/pallas/ball_query_stream.py).
+    (blockwise-N kernel for large clouds, ops/pallas/ball_query_stream.py)
+    | 'bucket' (MXU segment-sum inference tier, ball_query_bucket.py).
     """
     if precomputed_fps is not None:
         # both FPS levels came from the fused two-level kernel
@@ -69,7 +70,17 @@ def sample_and_group(npoint: int, radius: float, nsample: int,
         _, idx = ops.knn_point(nsample, xyz, new_xyz)
     else:
         bq = resolve_impl(ball_query_impl)
-        if bq == "pallas":
+        if bq == "bucket":
+            from articulated_pose_tpu.ops.pallas import query_ball_group_bucket
+
+            # bucket-sampled inference tier: selection-by-matmul on the
+            # MXU instead of the butterfly's roll+select routing (~3x
+            # cheaper at SA1; one hit per N/nsample-lane bucket instead
+            # of the first-nsample prefix — see ball_query_bucket.py)
+            grouped_xyz, _, idx = query_ball_group_bucket(
+                radius, nsample, xyz, new_xyz,
+                emit_idx=points is not None)
+        elif bq == "pallas":
             from articulated_pose_tpu.ops.pallas import query_ball_group_pallas
 
             # butterfly-compaction kernel: ball query AND the centered
@@ -220,7 +231,7 @@ class BackboneSpec:
     head_width: int = 128
     dropout_rate: float = 0.5
     fps_impl: str = "xla"        # 'xla' | 'pallas' (ops/pallas/fps.py)
-    ball_query_impl: str = "xla"  # 'xla' | 'pallas' | 'stream'
+    ball_query_impl: str = "xla"  # 'xla' | 'pallas' | 'stream' | 'bucket'
     # packed=True routes the butterfly kernel's coordinates as one
     # 10-bit-quantized i32 plane (<= extent/2046 abs error on grouped
     # coords, idx/cnt exact; ops/pallas/ball_query_butterfly.py)

@@ -81,16 +81,35 @@ def _hits_rank_rem(radius: float, nsample: int, n_valid: int,
         off = off + (r[:, -1:] + h[:, -1:].astype(jnp.float32))
     rank = jnp.concatenate(ranks, axis=1).astype(jnp.int32)   # (BM, N)
 
-    # remaining leftward distance; -1 marks dead lanes
-    rem = jnp.where(hit, lane - rank, -1)
+    # remaining leftward distance; _DEAD marks dead lanes (see
+    # _butterfly_route for why the sentinel is a lone high bit, not -1)
+    rem = jnp.where(hit, lane - rank, _DEAD)
     return lane, cnt, rem
+
+
+# Dead-lane sentinel for the butterfly's rem control plane: a single
+# HIGH bit (bit 30) instead of -1.  Every routing stage tests one shift
+# bit `sh` < 2^30, and _DEAD & sh == 0 for all of them, so dead lanes
+# (a) never inject into a leftward take and (b) always "keep" — both
+# liveness comparisons (srem >= 0, rem >= 0) and one AND per stage
+# disappear from the hot loop (~25% of the per-stage VPU work).
+_DEAD = 1 << 30
 
 
 def _butterfly_route(rem: jax.Array, planes, lane: jax.Array,
                      interpret: bool):
     """LSB-first log2(N) power-of-2 roll+select stages (collision-free
     for monotone leftward shifts).  Routes every plane in `planes`
-    alongside the rem control plane; wrapped lanes never inject."""
+    alongside the rem control plane; wrapped lanes never inject.
+
+    Liveness is encoded in rem itself (_DEAD = 1 << 30): live lanes hold
+    their remaining leftward distance (< N <= 2^30 — no shift bit ever
+    overlaps the sentinel), dead lanes hold _DEAD whose only set bit no
+    stage tests.  Per stage: a lane takes from lane+sh iff that lane's
+    rem has the sh bit (dead sources can't), otherwise it keeps its own
+    value iff its sh bit is clear (dead lanes always do); a live lane
+    whose value departed without a replacement becomes dead.
+    """
     N = rem.shape[-1]
     n_bits = max(1, (N - 1).bit_length())
     for b in range(n_bits):
@@ -98,9 +117,11 @@ def _butterfly_route(rem: jax.Array, planes, lane: jax.Array,
         if sh >= N:
             break
         srem = _roll_left(rem, sh, interpret)
-        take = (lane + sh < N) & (srem >= 0) & ((srem & sh) != 0)
-        stay = (rem >= 0) & ((rem & sh) == 0)
-        rem = jnp.where(take, srem - sh, jnp.where(stay, rem, -1))
+        # lane < N - sh masks circular wrap (right-end lanes see
+        # left-end values after the roll; those must never inject)
+        take = ((srem & sh) != 0) & (lane < N - sh)
+        rem = jnp.where(take, srem - sh,
+                        jnp.where((rem & sh) == 0, rem, _DEAD))
         planes = [jnp.where(take, _roll_left(v, sh, interpret), v)
                   for v in planes]
     return planes

@@ -80,6 +80,13 @@ class PoseFitConfig:
     # 512 was A/B'd accuracy-identical to full-N at the flagship shape
     # (rot 4.60° / 5°5cm 0.859 both ways, docs/perf_round2.md).
     lm_refit_points: Optional[int] = 512
+    # run same-type joints as ONE vmapped _joint_ransac (the base part's
+    # buffers are stacked K-1 times) instead of the sequential per-joint
+    # loop.  Identical results (same per-joint PRNG keys); shortens the
+    # joint stage's serial kernel chain at K>=3.  (The round-2 revert of
+    # a similar vmap predates the part_points cap that made the stacked
+    # buffers small — re-A/B'd in round 4, see docs/perf_round4.md.)
+    batch_joints: bool = False
 
 
 def partition_by_class(cls: jax.Array, n_parts: int):
@@ -277,22 +284,47 @@ def fit_frame(pred: Dict[str, jax.Array], P: jax.Array, key: jax.Array,
         def joint_axis_for(j):
             return axes[j - 1]
 
-        # NOTE: vmapping the K-1 joint solves was tried and REVERTED — it
-        # broadcast the base part's buffers across the joint axis and
-        # measured 46.6 → 52.7 ms (docs/perf_round2.md); the sequential
-        # loop lets XLA reuse the base-part working set.
         nl_R = [None] * K
         nl_s = [None] * K
         nl_t = [None] * K
-        for j in range(1, K):
-            prismatic = cfg.joint_types[j - 1] == "prismatic"
-            fit, _ = _joint_ransac(
-                keys[K + j - 1], srcs[0], tgts[0], masks[0],
-                srcs[j], tgts[j], masks[j], joint_axis_for(j), cfg,
-                prismatic)
-            if nl_R[0] is None:  # part 0 from the first joint solve (:331)
-                nl_R[0], nl_s[0], nl_t[0] = fit.R0, fit.s0, fit.t0
-            nl_R[j], nl_s[j], nl_t[j] = fit.R1, fit.s1, fit.t1
+        if cfg.batch_joints and K > 2:
+            # same-type joints run as ONE vmapped _joint_ransac over the
+            # joint axis (base-part buffers stacked per joint) — K-1
+            # sequential solves collapse into ceil(#types) batched ones.
+            # Same per-joint PRNG keys as the loop -> identical fits.
+            # (A round-2 vmap attempt measured WORSE pre-part_points-cap,
+            # docs/perf_round2.md; re-A/B'd in round 4 at the capped
+            # buffers, docs/perf_round4.md.)
+            by_type: Dict[bool, list] = {}
+            for j in range(1, K):
+                by_type.setdefault(
+                    cfg.joint_types[j - 1] == "prismatic", []).append(j)
+            for prismatic, js in by_type.items():
+                jkeys = jnp.stack([keys[K + j - 1] for j in js])
+                s1 = jnp.stack([srcs[j] for j in js])
+                t1 = jnp.stack([tgts[j] for j in js])
+                m1 = jnp.stack([masks[j] for j in js])
+                ax = jnp.stack([joint_axis_for(j) for j in js])
+                fit, _ = jax.vmap(
+                    lambda k, s, t, m, a: _joint_ransac(
+                        k, srcs[0], tgts[0], masks[0], s, t, m, a, cfg,
+                        prismatic))(jkeys, s1, t1, m1, ax)
+                for i, j in enumerate(js):
+                    if nl_R[0] is None:  # part 0 from the first solve
+                        nl_R[0], nl_s[0], nl_t[0] = (fit.R0[i], fit.s0[i],
+                                                     fit.t0[i])
+                    nl_R[j], nl_s[j], nl_t[j] = (fit.R1[i], fit.s1[i],
+                                                 fit.t1[i])
+        else:
+            for j in range(1, K):
+                prismatic = cfg.joint_types[j - 1] == "prismatic"
+                fit, _ = _joint_ransac(
+                    keys[K + j - 1], srcs[0], tgts[0], masks[0],
+                    srcs[j], tgts[j], masks[j], joint_axis_for(j), cfg,
+                    prismatic)
+                if nl_R[0] is None:  # part 0 from first joint solve (:331)
+                    nl_R[0], nl_s[0], nl_t[0] = fit.R0, fit.s0, fit.t0
+                nl_R[j], nl_s[j], nl_t[j] = fit.R1, fit.s1, fit.t1
         if nl_R[0] is None:
             nl_R[0], nl_s[0], nl_t[0] = base_R[0], base_s[0], base_t[0]
         out.update({

@@ -371,3 +371,102 @@ class TestFusedTwoLevelFPS:
         np.testing.assert_array_equal(np.asarray(i2), np.asarray(i2_ref))
         np.testing.assert_allclose(
             np.asarray(x2), np.asarray(core.gather_point(x1_ref, i2_ref)))
+
+
+def _bucket_oracle(xyz, q, radius, nsample):
+    """NumPy oracle of the bucket-tier semantics
+    (ops/pallas/ball_query_bucket.py): slot j = first in-radius point of
+    lanes [j*W, (j+1)*W), W = padded_N/nsample; unfilled slots repeat
+    the first filled slot; zero hits -> point 0; cnt exact (capped)."""
+    B, N, _ = xyz.shape
+    M = q.shape[1]
+    n_pad = -(-N // 128) * 128
+    W = n_pad // nsample
+    idx = np.zeros((B, M, nsample), np.int32)
+    cnt = np.zeros((B, M), np.int32)
+    grouped = np.zeros((B, M, nsample, 3), np.float32)
+    for b in range(B):
+        for m in range(M):
+            d = np.linalg.norm(xyz[b] - q[b, m], axis=-1)
+            hits = np.where(d < radius)[0]
+            cnt[b, m] = min(len(hits), nsample)
+            slot_idx = np.full(nsample, -1, np.int64)
+            for j in range(nsample):
+                in_b = hits[(hits >= j * W) & (hits < (j + 1) * W)]
+                if len(in_b):
+                    slot_idx[j] = in_b[0]
+            filled = slot_idx >= 0
+            if filled.any():
+                first = slot_idx[filled][0]
+                slot_idx[~filled] = first
+            else:
+                slot_idx[:] = 0
+            idx[b, m] = slot_idx
+            grouped[b, m] = xyz[b][slot_idx] - q[b, m]
+    return grouped, cnt, idx
+
+
+class TestBucketBallQuery:
+    """Bucket-sampled ball query (MXU segment-sum inference tier,
+    ops/pallas/ball_query_bucket.py) vs its NumPy oracle."""
+
+    @pytest.mark.parametrize("B,N,M,S,r", [(2, 256, 128, 32, 0.2),
+                                           (1, 512, 128, 64, 0.4),
+                                           (2, 200, 64, 32, 0.3)])
+    def test_matches_oracle(self, rng, B, N, M, S, r):
+        from articulated_pose_tpu.ops.pallas import query_ball_group_bucket
+        xyz = jnp.asarray(rng.rand(B, N, 3), jnp.float32)
+        qi = rng.choice(N, size=(B, M))
+        q = jnp.stack([xyz[b, qi[b]] for b in range(B)])
+        grouped, cnt, idx = query_ball_group_bucket(
+            r, S, xyz, q, emit_idx=True, interpret=True)
+        want_g, want_c, want_i = _bucket_oracle(
+            np.asarray(xyz), np.asarray(q), r, S)
+        np.testing.assert_array_equal(np.asarray(cnt), want_c)
+        np.testing.assert_array_equal(np.asarray(idx), want_i)
+        # coords ride one bf16 matmul: bf16-grade rounding on the
+        # centered offsets
+        np.testing.assert_allclose(np.asarray(grouped), want_g,
+                                   atol=r / 220.0)
+
+    def test_every_slot_is_a_true_hit_or_fill(self, rng):
+        from articulated_pose_tpu.ops.pallas import query_ball_group_bucket
+        xyz = jnp.asarray(rng.rand(1, 512, 3), jnp.float32)
+        q = jnp.asarray(rng.rand(1, 64, 3), jnp.float32)
+        grouped, cnt, idx = query_ball_group_bucket(
+            0.35, 64, xyz, q, emit_idx=True, interpret=True)
+        d = np.linalg.norm(np.asarray(grouped), axis=-1)
+        c = np.asarray(cnt)
+        # wherever the query has any hit, every slot holds an in-radius pt
+        assert (d[c > 0] < 0.35 + 1e-2).all()
+
+    def test_zero_hit_queries_use_point_zero(self):
+        from articulated_pose_tpu.ops.pallas import query_ball_group_bucket
+        xyz = jnp.asarray(np.random.RandomState(0).rand(1, 128, 3),
+                          jnp.float32)
+        q = jnp.asarray([[[50.0, 50.0, 50.0]]], jnp.float32)
+        grouped, cnt, idx = query_ball_group_bucket(
+            0.1, 16, xyz, q, emit_idx=True, interpret=True)
+        assert int(cnt[0, 0]) == 0 and int(idx[0, 0, 0]) == 0
+        want = np.asarray(xyz)[0, 0] - np.asarray(q)[0, 0]
+        np.testing.assert_allclose(np.asarray(grouped)[0, 0, 0], want,
+                                   rtol=1e-2)
+
+    def test_no_idx_path_matches(self, rng):
+        from articulated_pose_tpu.ops.pallas import query_ball_group_bucket
+        xyz = jnp.asarray(rng.rand(1, 256, 3), jnp.float32)
+        q = jnp.asarray(rng.rand(1, 64, 3), jnp.float32)
+        g1, c1, i1 = query_ball_group_bucket(0.3, 32, xyz, q,
+                                             emit_idx=True, interpret=True)
+        g2, c2, i2 = query_ball_group_bucket(0.3, 32, xyz, q,
+                                             emit_idx=False, interpret=True)
+        assert i2 is None and i1 is not None
+        np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+    def test_non_pow2_bucket_rejected(self, rng):
+        from articulated_pose_tpu.ops.pallas import query_ball_group_bucket
+        xyz = jnp.asarray(rng.rand(1, 384, 3), jnp.float32)
+        q = jnp.asarray(rng.rand(1, 64, 3), jnp.float32)
+        with pytest.raises(ValueError, match="bucket"):
+            query_ball_group_bucket(0.3, 16, xyz, q, interpret=True)

@@ -136,6 +136,36 @@ class TestBallQueryOnTPU:
         bound = ext[:, None, None, :] / 2046.0 + 1e-5
         assert (np.abs(np.asarray(grouped) - want) <= bound).all()
 
+    @pytest.mark.parametrize("B,N,M,S,r", [(64, 2048, 512, 64, 0.2),
+                                           (64, 512, 128, 64, 0.4)])
+    def test_bucket_tier(self, rng, B, N, M, S, r):
+        """Bucket-sampled tier on chip vs its interpreter twin: idx/cnt
+        must match exactly (the selection logic is integer); grouped
+        coords within the compiled bf16-matmul rounding of the
+        interpreter's values.  Boundary-classification noise (f32 d2
+        summation order, compiled vs interpreted) may flip hits whose
+        distance is within ~1e-5 of the radius — rows touching that
+        class are excluded like the streaming test does."""
+        from articulated_pose_tpu.ops.pallas import query_ball_group_bucket
+
+        xyz, q = _clouds(rng, B, N, M)
+        grouped, cnt, idx = query_ball_group_bucket(r, S, xyz, q,
+                                                    emit_idx=True)
+        g_i, c_i, i_i = query_ball_group_bucket(r, S, xyz, q,
+                                                emit_idx=True,
+                                                interpret=True)
+        d = np.linalg.norm(np.asarray(xyz)[:, None, :, :]
+                           - np.asarray(q)[:, :, None, :], axis=-1)
+        boundary = (np.abs(d - r) < 1e-5).any(-1)          # (B, M)
+        ok = ~boundary
+        assert ok.mean() > 0.95
+        np.testing.assert_array_equal(np.asarray(cnt)[ok],
+                                      np.asarray(c_i)[ok])
+        np.testing.assert_array_equal(np.asarray(idx)[ok],
+                                      np.asarray(i_i)[ok])
+        np.testing.assert_allclose(np.asarray(grouped)[ok],
+                                   np.asarray(g_i)[ok], atol=r / 200.0)
+
     def test_streaming_large_n(self, rng):
         """N=16k blockwise kernel vs oracle; divergence confined to the
         documented f32 radius-boundary class (distances within ~1e-5 of

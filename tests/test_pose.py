@@ -232,6 +232,8 @@ class TestPipeline:
             np.testing.assert_allclose(float(out["nonlinear_s"][j]), s_gt,
                                        rtol=0.05)
 
+    @pytest.mark.slow  # ~45s: second full fit_frame compile at a
+    # distinct static cfg (cap property, not core-path coverage)
     def test_part_points_cap_exact_when_parts_fit(self):
         """part_points slices the valid-first buffers; when every part
         holds <= cap points the capped fit must match the uncapped one
@@ -498,3 +500,46 @@ class TestPairwiseScaleBoth:
         fwd, inv = umeyama.pairwise_scale_both(src, tgt)
         np.testing.assert_allclose(float(fwd), 2.0, rtol=1e-4)
         np.testing.assert_allclose(float(inv), 0.5, rtol=1e-4)
+
+
+class TestBatchedJoints:
+    """cfg.batch_joints: the vmapped same-type joint solves must equal
+    the sequential per-joint loop exactly (same per-joint PRNG keys)."""
+
+    def _pred(self, sample, n_parts, rngs):
+        W = np.eye(n_parts, dtype=np.float32)[sample["cls_gt"].astype(int)]
+        nocs = np.tile(sample["nocs_gt"], (1, n_parts)).astype(np.float32)
+        index = np.eye(n_parts, dtype=np.float32)[
+            sample["joint_cls_gt"].astype(int) % n_parts]
+        return {
+            "W": jnp.asarray(W + 0.05 * rngs.randn(*W.shape).astype(np.float32)),
+            "nocs_per_point": jnp.asarray(nocs),
+            "joint_axis_per_point": jnp.asarray(sample["orient_gt"]),
+            "index_per_point": jnp.asarray(index),
+        }
+
+    @pytest.mark.parametrize("joint_types", [
+        pytest.param(("revolute", "revolute"),
+                     marks=pytest.mark.slow),  # ~80s compile (LM refit)
+        ("prismatic", "prismatic"),
+    ])
+    def test_matches_sequential(self, joint_types):
+        n_parts = 3
+        gen = SyntheticArticulated(n_parts=n_parts, points_per_part=150,
+                                   joint_types=joint_types, seed=7)
+        rngs = np.random.RandomState(2)
+        sample, _ = gen.frame(rngs, num_points=384)
+        pred = self._pred(sample, n_parts, rngs)
+        base = dict(n_parts=n_parts, niter_part=32, niter_joint=16,
+                    joint_types=joint_types, lm_iters_hypo=4,
+                    lm_iters_refit=5, ransac_chunk=None)
+        cfg_seq = pipeline.PoseFitConfig(**base, batch_joints=False)
+        cfg_bat = pipeline.PoseFitConfig(**base, batch_joints=True)
+        P = jnp.asarray(sample["P"])
+        key = jax.random.PRNGKey(4)
+        o1 = pipeline.fit_frame(pred, P, key, cfg_seq)
+        o2 = pipeline.fit_frame(pred, P, key, cfg_bat)
+        for k in ("nonlinear_R", "nonlinear_s", "nonlinear_t",
+                  "baseline_R"):
+            np.testing.assert_allclose(np.asarray(o1[k]), np.asarray(o2[k]),
+                                       rtol=1e-5, atol=1e-5)
