@@ -55,15 +55,17 @@ class PosePredictor:
             from articulated_pose_tpu.train.trainer import Checkpointer
 
             assert work_dir is not None, "need work_dir or explicit params"
-            state = create_train_state(
-                self.model, config, jax.random.PRNGKey(0),
-                np.zeros((1, config.num_points, 3), np.float32))
             import os
 
+            # fail fast BEFORE the init compile: a missing checkpoint
+            # should not cost the caller ~20s of param initialization
             ck = Checkpointer(os.path.join(work_dir, "model"))
             step = ck.latest_step()
             if step is None:
                 raise FileNotFoundError(f"no checkpoint under {work_dir}/model")
+            state = create_train_state(
+                self.model, config, jax.random.PRNGKey(0),
+                np.zeros((1, config.num_points, 3), np.float32))
             state = ck.restore(state)
             params, batch_stats = state.params, state.batch_stats
         self.variables = {"params": params, "batch_stats": batch_stats or {}}

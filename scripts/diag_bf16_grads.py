@@ -67,6 +67,9 @@ def main():
     ap.add_argument("--depth", type=int, default=2,
                     help="module-path depth for the per-module report "
                          "(4 reaches backbone/sa1/mlp/conv0)")
+    ap.add_argument("--loss-key", default=None,
+                    help="bisect ONE loss component's gradient instead of "
+                         "the total (e.g. miou_loss, nocs_loss, index_loss)")
     args = ap.parse_args()
 
     import jax
@@ -125,6 +128,15 @@ def main():
                                act_dtype="float32"),
         # the fix candidate: SA1 pinned f32, everything else bf16
         "bf16_f32sa1": cfg_for("bfloat16", f32_stages=("sa1",)),
+        # round-4 residual-seg-damage bisect: the sa1 pin rescues pose
+        # metrics but seg acc stays 0.833 vs 0.947 (docs/dtype_ab.md) —
+        # these arms test whether also pinning the seg-head feed path
+        # (fp3/fc1) or the second encoder stage recovers the rest
+        "bf16_f32sa1fc1": cfg_for("bfloat16",
+                                  f32_stages=("sa1", "fp3", "fc1")),
+        "bf16_f32sa1sa2": cfg_for("bfloat16", f32_stages=("sa1", "sa2")),
+        "bf16_f32enc": cfg_for("bfloat16",
+                               f32_stages=("sa1", "sa2", "sa_global")),
     }
     # attribution arms: pure-f32 compute, but gradients TAKEN AT perturbed
     # params — isolates the parameter-quantization effect from every
@@ -149,13 +161,36 @@ def main():
         "f32@jitterparams": jitter(state.params, jax.random.PRNGKey(3)),
     }
 
+    if args.loss_key:
+        # gradient of ONE loss component (e.g. --loss-key miou_loss for
+        # the seg term): localizes which module corrupts WHICH loss
+        from articulated_pose_tpu import losses as losses_lib
+        from articulated_pose_tpu.train.state import (_gt_from_batch,
+                                                      bn_momentum_schedule)
+
+        def component_loss(p, cfg, model):
+            bn_m = bn_momentum_schedule(state.step, cfg.batch_size,
+                                        cfg.bn_decay_step)
+            pred, _ = model.apply(
+                {"params": p, "batch_stats": state.batch_stats},
+                batch["P"], train=True, bn_momentum=bn_m,
+                rngs={"dropout": drop_rng}, mutable=["batch_stats"])
+            gt = _gt_from_batch(batch)
+            ld = losses_lib.compute_all_losses(pred, gt, cfg)
+            return jnp.mean(ld[args.loss_key])
+
     grads, losses = {}, {}
     for name, cfg in arms.items():
         model = build_model(cfg)
-        gfn = jax.jit(jax.grad(
-            lambda p: _forward_loss(p, state.batch_stats, model.apply,
-                                    batch, cfg, train=True, rng=drop_rng,
-                                    step=state.step)[0]))
+        if args.loss_key:
+            gfn = jax.jit(jax.grad(
+                lambda p, cfg=cfg, model=model: component_loss(
+                    p, cfg, model)))
+        else:
+            gfn = jax.jit(jax.grad(
+                lambda p: _forward_loss(p, state.batch_stats, model.apply,
+                                        batch, cfg, train=True, rng=drop_rng,
+                                        step=state.step)[0]))
         g = gfn(state.params)
         loss = _forward_loss(state.params, state.batch_stats, model.apply,
                              batch, cfg, train=True, rng=drop_rng,

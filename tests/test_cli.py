@@ -18,6 +18,20 @@ def run_cli(*args, timeout=900):
         capture_output=True, text=True, timeout=timeout, env=env, cwd=REPO)
 
 
+def test_demo_smoke(tmp_path):
+    """Ungated fast tier: main.py is exercised on every default run
+    (train 2 steps on the full model at tiny shapes; the train→eval→
+    serve round-trips live in TestCLI under RUN_SLOW)."""
+    r = run_cli("demo", "--synthetic", "--max_steps", "2",
+                "--batch_size", "2", "--num_points", "128",
+                "--synthetic_frames", "4",
+                "--work_dir", str(tmp_path / "work"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "final:" in r.stdout
+    final = json.loads(r.stdout.split("final:")[1].strip())
+    assert "total_loss" in final
+
+
 @pytest.mark.slow
 @pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
                     reason="CLI subprocess tests recompile the full model "

@@ -248,6 +248,32 @@ class TestTPSharding:
 class TestJointBaselineTrainer:
     """Direct joint-regression baseline: loss decreases and eval runs."""
 
+    def test_fit_smoke(self, tmp_path):
+        """Fast default tier: fit a few steps + checkpoint round-trip
+        (the evaluate() pose-metric compile lives in the slow variant)."""
+        from articulated_pose_tpu.config import load_config
+        from articulated_pose_tpu.data.batcher import BatchIterator
+        from articulated_pose_tpu.data.synthetic import SyntheticArticulated
+        from articulated_pose_tpu.train.joint_baseline import (
+            JointBaselineTrainer)
+
+        cfg = load_config(None, category="eyeglasses", batch_size=4,
+                          num_points=128, n_max_parts=3)
+        gen = SyntheticArticulated(n_parts=3, points_per_part=100, seed=0)
+        rng = np.random.RandomState(0)
+        frames = [gen.frame(rng, num_points=128, n_max_parts=3)[0]
+                  for _ in range(4)]
+        it = BatchIterator(4, lambda i: frames[i], 4, shuffle=True, seed=0,
+                           drop_last=True)
+        tr = JointBaselineTrainer(cfg, str(tmp_path))
+        tr.init(frames[0]["P"][None])
+        first = tr.fit(it, max_steps=2)
+        out = tr.fit(it, max_steps=20)
+        assert out["total_loss"] < first["total_loss"]
+        tr2 = JointBaselineTrainer(cfg, str(tmp_path))
+        assert tr2.maybe_restore(frames[0]["P"][None]) == 20
+
+    @pytest.mark.slow
     def test_fit_reduces_loss_and_evaluates(self, tmp_path):
         from articulated_pose_tpu.config import load_config
         from articulated_pose_tpu.data.batcher import BatchIterator
