@@ -73,13 +73,19 @@ def sample_and_group(npoint: int, radius: float, nsample: int,
         if bq == "bucket":
             from articulated_pose_tpu.ops.pallas import query_ball_group_bucket
 
-            # bucket-sampled inference tier: selection-by-matmul on the
-            # MXU instead of the butterfly's roll+select routing (~3x
-            # cheaper at SA1; one hit per N/nsample-lane bucket instead
-            # of the first-nsample prefix — see ball_query_bucket.py)
+            # bucket-sampled tier (one hit per N/nsample-lane bucket
+            # instead of the first-nsample prefix).  Pallas variant:
+            # measured SLOWER than the butterfly at SA1 (35.8 vs 4.2 ms,
+            # docs/perf_round4.md) — kept as a validated tier, not a
+            # default
             grouped_xyz, _, idx = query_ball_group_bucket(
                 radius, nsample, xyz, new_xyz,
                 emit_idx=points is not None)
+        elif bq == "bucket_xla":
+            # same bucket semantics in pure XLA: pairwise-d2 matmul +
+            # per-bucket argmin (ops/core.py::query_ball_point_bucket)
+            idx, _ = ops.query_ball_point_bucket(radius, nsample, xyz,
+                                                 new_xyz)
         elif bq == "pallas":
             from articulated_pose_tpu.ops.pallas import query_ball_group_pallas
 
@@ -231,7 +237,7 @@ class BackboneSpec:
     head_width: int = 128
     dropout_rate: float = 0.5
     fps_impl: str = "xla"        # 'xla' | 'pallas' (ops/pallas/fps.py)
-    ball_query_impl: str = "xla"  # 'xla' | 'pallas' | 'stream' | 'bucket'
+    ball_query_impl: str = "xla"  # 'xla'|'pallas'|'stream'|'bucket'|'bucket_xla'
     # packed=True routes the butterfly kernel's coordinates as one
     # 10-bit-quantized i32 plane (<= extent/2046 abs error on grouped
     # coords, idx/cnt exact; ops/pallas/ball_query_butterfly.py)

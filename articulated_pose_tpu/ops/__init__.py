@@ -15,6 +15,7 @@ from articulated_pose_tpu.ops.core import (
     pairwise_sqdist,
     prob_sample,
     query_ball_point,
+    query_ball_point_bucket,
     three_interpolate,
     three_nn,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "pairwise_sqdist",
     "prob_sample",
     "query_ball_point",
+    "query_ball_point_bucket",
     "three_interpolate",
     "three_nn",
 ]

@@ -123,6 +123,59 @@ def query_ball_point(radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.A
     return idx.astype(jnp.int32), cnt
 
 
+def query_ball_point_bucket(radius: float, nsample: int, xyz: jax.Array,
+                            new_xyz: jax.Array):
+    """Bucket-sampled ball query — pure-XLA twin of the Pallas tier
+    (ops/pallas/ball_query_bucket.py, same semantics, same oracle).
+
+    xyz (B, N, 3), new_xyz (B, M, 3) -> (idx (B, M, nsample) int32,
+    cnt (B, M) int32 exact capped count).  Slot j holds the FIRST
+    in-radius point among lanes [j*W, (j+1)*W), W = padded_N / nsample
+    (pow2); unfilled slots repeat the first filled slot; zero hits ->
+    point 0.  A valid different-subset inference tier: every returned
+    point is a true hit, the subset is quasi-uniform over the index
+    range instead of the CUDA first-nsample prefix (tf_grouping_g.cu:
+    3-36) — the consuming PointConv max-pools over slots, so subset
+    choice is a sampling detail.
+
+    Why this exists: the rank-based exact path above runs a cumsum +
+    rank-matched reduction over N per slot; the bucket semantics needs
+    only a per-bucket argmin after a (B, M, S, W) reshape — far fewer
+    vector ops on the (B, M, N) plane.
+    """
+    B, N, _ = xyz.shape
+    M = new_xyz.shape[1]
+    n_pad = -(-N // 128) * 128
+    W = n_pad // nsample
+    if n_pad % nsample or (W & (W - 1)):
+        raise ValueError(
+            f"bucket ball query needs padded N ({n_pad}) = nsample "
+            f"({nsample}) * power-of-two bucket; use query_ball_point")
+    x = xyz
+    if n_pad != N:
+        x = jnp.pad(xyz, ((0, 0), (0, n_pad - N), (0, 0)),
+                    constant_values=1e9)
+    d2 = pairwise_sqdist(new_xyz, x)                        # (B, M, n_pad)
+    hit = d2 < (radius * radius)
+    cnt = jnp.minimum(jnp.sum(hit, -1), nsample).astype(jnp.int32)
+    # first hit within each W-lane bucket: argmin over the bucket axis
+    w_iota = jnp.arange(W, dtype=jnp.int32)
+    in_bucket = jnp.where(hit.reshape(B, M, nsample, W), w_iota, W)
+    w_star = jnp.min(in_bucket, axis=-1)                    # (B, M, S)
+    filled = w_star < W
+    idx = jnp.arange(nsample, dtype=jnp.int32) * W + jnp.minimum(w_star,
+                                                                 W - 1)
+    # backfill: every unfilled slot repeats the first filled slot
+    s_iota = jnp.arange(nsample, dtype=jnp.int32)
+    first_slot = jnp.min(jnp.where(filled, s_iota, nsample), axis=-1)
+    any_hit = first_slot < nsample
+    first_slot = jnp.minimum(first_slot, nsample - 1)
+    fill_idx = jnp.take_along_axis(idx, first_slot[..., None], axis=-1)
+    fill_idx = jnp.where(any_hit[..., None], fill_idx, 0)
+    idx = jnp.where(filled, idx, fill_idx)
+    return idx.astype(jnp.int32), cnt
+
+
 def group_point(points: jax.Array, idx: jax.Array,
                 impl: str = "auto") -> jax.Array:
     """points (B, N, C), idx (B, M, S) -> (B, M, S, C) (tf_grouping GroupPoint).

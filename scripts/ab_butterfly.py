@@ -88,6 +88,14 @@ def main():
               lambda x, qq, e=emit: query_ball_group_bucket(
                   r, S, x, qq, emit_idx=e)[:2], xyz, q)
 
+        def bucket_xla(x, qq):
+            # comparable work to the fused kernels: query + grouped,
+            # centered coords
+            idx, cnt = ops.query_ball_point_bucket(r, S, x, qq)
+            g = ops.group_point(x, idx) - qq[:, :, None, :]
+            return g, cnt
+        timed(f"{tag} bucket XLA (query+group)", bucket_xla, xyz, q)
+
 
 if __name__ == "__main__":
     main()

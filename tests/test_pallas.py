@@ -470,3 +470,29 @@ class TestBucketBallQuery:
         q = jnp.asarray(rng.rand(1, 64, 3), jnp.float32)
         with pytest.raises(ValueError, match="bucket"):
             query_ball_group_bucket(0.3, 16, xyz, q, interpret=True)
+
+
+class TestBucketBallQueryXLA:
+    """Pure-XLA twin (ops/core.py::query_ball_point_bucket) of the
+    Pallas bucket tier: same semantics, same NumPy oracle."""
+
+    @pytest.mark.parametrize("B,N,M,S,r", [(2, 256, 128, 32, 0.2),
+                                           (1, 512, 128, 64, 0.4),
+                                           (2, 200, 64, 32, 0.3)])
+    def test_matches_oracle(self, rng, B, N, M, S, r):
+        from articulated_pose_tpu import ops
+        xyz = jnp.asarray(rng.rand(B, N, 3), jnp.float32)
+        qi = rng.choice(N, size=(B, M))
+        q = jnp.stack([xyz[b, qi[b]] for b in range(B)])
+        idx, cnt = ops.query_ball_point_bucket(r, S, xyz, q)
+        _, want_c, want_i = _bucket_oracle(np.asarray(xyz), np.asarray(q),
+                                           r, S)
+        np.testing.assert_array_equal(np.asarray(cnt), want_c)
+        np.testing.assert_array_equal(np.asarray(idx), want_i)
+
+    def test_non_pow2_bucket_rejected(self, rng):
+        from articulated_pose_tpu import ops
+        xyz = jnp.asarray(rng.rand(1, 384, 3), jnp.float32)
+        q = jnp.asarray(rng.rand(1, 64, 3), jnp.float32)
+        with pytest.raises(ValueError, match="bucket"):
+            ops.query_ball_point_bucket(0.3, 16, xyz, q)
