@@ -191,7 +191,13 @@ def main():
                  "production v5e / ~459 v5p. The pipeline is selection/"
                  "gather-bound (VPU+VMEM), not MXU-bound, so throughput "
                  "scales with vector/memory bandwidth across chips, not "
-                 "peak matmul TFLOPs"),
+                 "peak matmul TFLOPs. vs_baseline conservatively divides "
+                 "the PER-CHIP value by the full 10k north star, but "
+                 "BASELINE.json's target is pod-slice: >=10k clouds/s on a "
+                 "v5p-8 (4 chips / 8 cores) = 1250/core, which the pipeline "
+                 "is embarrassingly data-parallel over (parallel/mesh.py; "
+                 "sharded serving tested) — see docs/roofline_r4.md for the "
+                 "measured per-chip floors and the pod-slice accounting"),
     }))
 
 

@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--points", type=int, default=2048)
     ap.add_argument("--nocs_noise", type=float, default=0.02)
     ap.add_argument("--seg_flip", type=float, default=0.05)
+    ap.add_argument("--r4", action="store_true",
+                    help="round-4 arms: probe knobs BELOW the production "
+                         "defaults (refit 3, 64/32 hypos, smaller scoring/"
+                         "refit prefixes) for further free throughput")
     args = ap.parse_args()
 
     import jax
@@ -89,6 +93,28 @@ def main():
     base = dict(n_parts=K, joint_types=("revolute", "revolute"),
                 lm_iters_hypo=8, lm_iters_refit=15, ransac_chunk=None,
                 lm_refit_points=512)
+
+    if args.r4:
+        prod = dict(base, lm_iters_refit=6)
+        evaluate(PoseFitConfig(niter_part=128, niter_joint=64, **prod),
+                 "PROD 128/64 refit6 (control)")
+        for kw, tag in [
+            (dict(lm_iters_refit=4), "refit=4"),
+            (dict(lm_iters_refit=3), "refit=3"),
+            (dict(lm_iters_refit=2), "refit=2"),
+            (dict(niter_part=64), "niter_part=64"),
+            (dict(niter_joint=32), "niter_joint=32"),
+            (dict(niter_part=64, niter_joint=32, lm_iters_refit=3),
+             "64/32 refit=3 (all cheap)"),
+            (dict(ransac_score_points=512), "score_points=512"),
+            (dict(ransac_score_points=256), "score_points=256"),
+            (dict(lm_refit_points=256), "lm_refit_points=256"),
+            (dict(part_points=512), "part_points=512"),
+        ]:
+            b = dict(prod, niter_part=128, niter_joint=64)
+            b.update(kw)
+            evaluate(PoseFitConfig(**b), f"R4 {tag}")
+        return
     for niter_part, niter_joint in [(2048, 256), (1024, 128), (512, 128),
                                     (256, 64), (128, 64)]:
         evaluate(PoseFitConfig(niter_part=niter_part,
