@@ -71,7 +71,7 @@ def main():
         base = dict(n_parts=K, niter_part=128, niter_joint=64,
                     joint_types=("revolute", "revolute"),
                     lm_iters_hypo=10, lm_iters_refit=6,
-                    ransac_chunk=512, part_points=1024,
+                    ransac_chunk=None, part_points=1024,
                     ransac_score_points=1024, lm_refit_points=512)
         base.update(kw)
         return PoseFitConfig(**base)
