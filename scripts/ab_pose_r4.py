@@ -88,6 +88,11 @@ def main():
         ("score_points=256", cfg(ransac_score_points=256), pred),
         ("no joints + niter_part=1 (setup floor)",
          cfg(niter_part=1), pred_nojoint),
+        # the knob set the noise sweep calls accuracy-flat (pending the
+        # trained-checkpoint A/B): paired pose-stage gain, same window
+        ("CHEAP 64/64 refit3 score512",
+         cfg(niter_part=64, lm_iters_refit=3,
+             ransac_score_points=512), pred),
     ]
     for name, c, p in arms:
         timed(name, lambda pp, xx, c=c: fit_frame_batch(pp, xx, key, c),
