@@ -94,9 +94,14 @@ def sample_and_group(npoint: int, radius: float, nsample: int,
             # unfused pair; 13.5 -> 6.9 ms at SA1, 4.7 -> 2.4 ms at SA2
             # incl. the flat-take gather it replaces).  The index plane
             # is only carried when a feature gather still needs it.
+            # transposed=True routes along SUBLANES — identical outputs,
+            # SA1 packed 3.56 -> 2.52 ms / exact 4.83 -> 3.45 ms (lane
+            # rolls pay shift-size-dependent Mosaic layout conversions;
+            # sublane rolls don't — docs/perf_round4.md).
             grouped_xyz, _, idx = query_ball_group_pallas(
                 radius, nsample, xyz, new_xyz,
-                emit_idx=points is not None, packed=ball_query_packed)
+                emit_idx=points is not None, packed=ball_query_packed,
+                transposed=True)
         elif bq == "stream":
             from articulated_pose_tpu.ops.pallas import query_ball_point_stream
 

@@ -127,6 +127,164 @@ def _butterfly_route(rem: jax.Array, planes, lane: jax.Array,
     return planes
 
 
+def _roll_up(x: jax.Array, shift: int, interpret: bool) -> jax.Array:
+    if interpret:
+        return jnp.roll(x, -shift, axis=0)
+    return pltpu.roll(x, x.shape[0] - shift, axis=0)
+
+
+def _hits_rank_rem_t(radius: float, nsample: int, n_valid: int,
+                     pts: jax.Array, q: jax.Array):
+    """Transposed prologue: everything lives as (N, BM) — points on the
+    SUBLANE axis, queries on lanes.  Same math as _hits_rank_rem; the
+    prefix rank runs down the sublane axis via strictly-lower-triangular
+    chunk matmuls (dot(L, h) with L[i,j] = [j < i])."""
+    N = pts.shape[0]
+    BM = q.shape[0]
+    inner = jnp.dot(pts, q.T, preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST)   # (N, BM) on the MXU
+    d2 = (jnp.sum(pts * pts, -1, keepdims=True)
+          + jnp.sum(q * q, -1)[None, :] - 2.0 * inner)
+    sub = lax.broadcasted_iota(jnp.int32, (N, BM), 0)
+    hit = (d2 < radius * radius) & (sub < n_valid)
+    cnt = jnp.minimum(jnp.sum(hit, 0), nsample).astype(jnp.int32)  # (BM,)
+
+    hitf = hit.astype(jnp.bfloat16)
+    CH = 256 if N % 256 == 0 else 128
+    ii = lax.broadcasted_iota(jnp.int32, (CH, CH), 0)
+    jj = lax.broadcasted_iota(jnp.int32, (CH, CH), 1)
+    L = (jj < ii).astype(jnp.bfloat16)
+
+    ranks = []
+    off = jnp.zeros((1, BM), jnp.float32)
+    for k in range(N // CH):
+        h = hitf[k * CH:(k + 1) * CH, :]
+        r = jnp.dot(L, h, preferred_element_type=jnp.float32)
+        ranks.append(r + off)
+        off = off + (r[-1:, :] + h[-1:, :].astype(jnp.float32))
+    rank = jnp.concatenate(ranks, axis=0).astype(jnp.int32)   # (N, BM)
+
+    rem = jnp.where(hit, sub - rank, _DEAD)
+    return sub, cnt, rem
+
+
+def _butterfly_route_t(rem: jax.Array, planes, sub: jax.Array,
+                       interpret: bool):
+    """Sublane-axis twin of _butterfly_route: identical routing logic,
+    but every roll moves data UP the sublane axis of the (N, BM) tiles.
+
+    Motivation (docs/perf_round4.md): lane-axis roll cost scales with
+    the shift and spikes when a chain mixes shift granularities (Mosaic
+    inserts layout conversions between differently-rotated vregs);
+    sublane shifts are cross-vreg register moves whose cost is
+    hypothesized flat in the shift amount — measured by
+    scripts/diag_roll_cost.py before this variant was added."""
+    N = rem.shape[0]
+    n_bits = max(1, (N - 1).bit_length())
+    for b in range(n_bits):
+        sh = 1 << b
+        if sh >= N:
+            break
+        srem = _roll_up(rem, sh, interpret)
+        take = ((srem & sh) != 0) & (sub < N - sh)
+        rem = jnp.where(take, srem - sh,
+                        jnp.where((rem & sh) == 0, rem, _DEAD))
+        planes = [jnp.where(take, _roll_up(v, sh, interpret), v)
+                  for v in planes]
+    return planes
+
+
+def _ballq_butterfly_kernel_t(radius: float, nsample: int, n_valid: int,
+                              emit_idx: bool, interpret: bool,
+                              xyz_ref, q_ref, *out_refs):
+    """Transposed exact kernel: planes are (N, BM), outputs (nsample, BM)
+    slices of the routed planes (the wrapper transposes back)."""
+    pts = xyz_ref[0]                                   # (N, 3)
+    q = q_ref[0]                                       # (BM, 3)
+    N = pts.shape[0]
+    BM = q.shape[0]
+
+    sub, cnt, rem = _hits_rank_rem_t(radius, nsample, n_valid, pts, q)
+
+    # (N, 1) column slices broadcast along lanes — the transposed twin of
+    # the load-bearing row-broadcast producer shape
+    planes = [jnp.broadcast_to(pts[:, c:c + 1], (N, BM)) for c in range(3)]
+    if emit_idx:
+        planes.append(sub)
+
+    planes = _butterfly_route_t(rem, planes, sub, interpret)
+
+    row = lax.broadcasted_iota(jnp.int32, (nsample, BM), 0)
+    filled = row < cnt[None, :]
+    any_hit = cnt[None, :] > 0
+
+    out_i = 0
+    for c in range(3):
+        v = planes[c][:nsample, :]
+        fill = jnp.where(any_hit, v[0:1, :], pts[0, c])
+        out_refs[out_i][0, :, :] = (jnp.where(filled, v, fill)
+                                    - q[:, c][None, :])
+        out_i += 1
+    out_refs[out_i][0, :, :] = jnp.broadcast_to(cnt[None, :], (8, BM))
+    out_i += 1
+    if emit_idx:
+        vl = planes[3][:nsample, :]
+        fill = jnp.where(any_hit, vl[0:1, :], 0)
+        out_refs[out_i][0, :, :] = jnp.where(filled, vl, fill)
+
+
+def _ballq_butterfly_packed_kernel_t(radius: float, nsample: int,
+                                     n_valid: int, emit_idx: bool,
+                                     interpret: bool,
+                                     xyz_ref, q_ref, *out_refs):
+    """Transposed packed kernel: one (N, BM) i32 plane of 10-bit packed
+    raw coordinates (same quantization contract as the lane version)."""
+    pts = xyz_ref[0]                                   # (N, 3)
+    q = q_ref[0]                                       # (BM, 3)
+    N = pts.shape[0]
+    BM = q.shape[0]
+
+    sub, cnt, rem = _hits_rank_rem_t(radius, nsample, n_valid, pts, q)
+
+    lane_n = lax.broadcasted_iota(jnp.int32, (N, 3), 0)
+    valid_n = lane_n < n_valid
+    mn = jnp.min(jnp.where(valid_n, pts, jnp.inf), axis=0)     # (3,)
+    mx = jnp.max(jnp.where(valid_n, pts, -jnp.inf), axis=0)
+    ext = jnp.maximum(mx - mn, 1e-6)
+    scl = 1023.0 / ext
+    qp = jnp.clip(jnp.floor((pts - mn[None, :]) * scl[None, :] + 0.5),
+                  0.0, 1023.0).astype(jnp.int32)               # (N, 3)
+    lane_sh = lax.broadcasted_iota(jnp.int32, (N, 3), 1) * 10
+    packed_col = jnp.sum(qp << lane_sh, axis=1, keepdims=True)  # (N, 1)
+    planes = [jnp.broadcast_to(packed_col, (N, BM))]
+    if emit_idx:
+        planes.append(sub)
+
+    planes = _butterfly_route_t(rem, planes, sub, interpret)
+
+    row = lax.broadcasted_iota(jnp.int32, (nsample, BM), 0)
+    filled = row < cnt[None, :]
+    any_hit = cnt[None, :] > 0
+
+    out_i = 0
+    v1 = planes[0][:nsample, :]
+    inv = ext * (1.0 / 1023.0)
+    for c, shift in ((0, 0), (1, 10), (2, 20)):
+        comp = ((v1 >> shift) & 1023).astype(jnp.float32) * inv[c] + mn[c]
+        p0 = ((packed_col[0, 0] >> shift) & 1023).astype(jnp.float32) \
+            * inv[c] + mn[c]
+        fill = jnp.where(any_hit, comp[0:1, :], p0)
+        out_refs[out_i][0, :, :] = (jnp.where(filled, comp, fill)
+                                    - q[:, c][None, :])
+        out_i += 1
+    out_refs[out_i][0, :, :] = jnp.broadcast_to(cnt[None, :], (8, BM))
+    out_i += 1
+    if emit_idx:
+        vl = planes[1][:nsample, :]
+        fill = jnp.where(any_hit, vl[0:1, :], 0)
+        out_refs[out_i][0, :, :] = jnp.where(filled, vl, fill)
+
+
 def _ballq_butterfly_kernel(radius: float, nsample: int, n_valid: int,
                             emit_idx: bool, interpret: bool,
                             xyz_ref, q_ref, *out_refs):
@@ -250,11 +408,11 @@ def _ballq_butterfly_packed_kernel(radius: float, nsample: int, n_valid: int,
         out_refs[out_i][0, :, :] = jnp.where(filled, vl, fill)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5, 6, 7, 8))
 def query_ball_group_pallas(radius: float, nsample: int, xyz: jax.Array,
                             new_xyz: jax.Array, emit_idx: bool = True,
                             block_m: int = 128, interpret: bool = False,
-                            packed: bool = False):
+                            packed: bool = False, transposed: bool = False):
     """Fused ball query + centered neighborhood coordinates.
 
     xyz (B, N, 3), new_xyz (B, M, 3) -> (grouped_xyz (B, M, nsample, 3)
@@ -275,6 +433,13 @@ def query_ball_group_pallas(radius: float, nsample: int, xyz: jax.Array,
     emit_idx, a lane plane.  Grouped coordinates then carry
     <= extent_c/2046 absolute quantization error per component; idx and
     cnt stay exact.  See _ballq_butterfly_packed_kernel.
+
+    transposed=True runs the sublane-routing twin: the (points, queries)
+    tiles are (N, BM) with points on the SUBLANE axis, so every routing
+    roll is a cross-vreg sublane move instead of a lane rotation (lane
+    roll cost grows with shift and granularity mixing —
+    docs/perf_round4.md).  Bitwise-identical outputs; the wrapper
+    transposes the (nsample, BM) kernel outputs back.
     """
     B, N, _ = xyz.shape
     M = new_xyz.shape[1]
@@ -290,29 +455,35 @@ def query_ball_group_pallas(radius: float, nsample: int, xyz: jax.Array,
     if m_pad != M:
         q = jnp.pad(q, ((0, 0), (0, m_pad - M), (0, 0)))
 
+    if transposed:
+        plane_spec = pl.BlockSpec((1, nsample, bm), lambda b, m: (b, 0, m),
+                                  memory_space=pltpu.VMEM)
+        plane_shape = (B, nsample, m_pad)
+    else:
+        plane_spec = pl.BlockSpec((1, bm, nsample), lambda b, m: (b, m, 0),
+                                  memory_space=pltpu.VMEM)
+        plane_shape = (B, m_pad, nsample)
     out_specs = [
-        pl.BlockSpec((1, bm, nsample), lambda b, m: (b, m, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bm, nsample), lambda b, m: (b, m, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bm, nsample), lambda b, m: (b, m, 0),
-                     memory_space=pltpu.VMEM),
+        plane_spec, plane_spec, plane_spec,
         pl.BlockSpec((1, 8, bm), lambda b, m: (b, 0, m),
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((B, m_pad, nsample), jnp.float32),
-        jax.ShapeDtypeStruct((B, m_pad, nsample), jnp.float32),
-        jax.ShapeDtypeStruct((B, m_pad, nsample), jnp.float32),
+        jax.ShapeDtypeStruct(plane_shape, jnp.float32),
+        jax.ShapeDtypeStruct(plane_shape, jnp.float32),
+        jax.ShapeDtypeStruct(plane_shape, jnp.float32),
         jax.ShapeDtypeStruct((B, 8, m_pad), jnp.int32),
     ]
     if emit_idx:
-        out_specs.append(pl.BlockSpec((1, bm, nsample), lambda b, m: (b, m, 0),
-                                      memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((B, m_pad, nsample), jnp.int32))
+        out_specs.append(plane_spec)
+        out_shape.append(jax.ShapeDtypeStruct(plane_shape, jnp.int32))
 
-    kern = (_ballq_butterfly_packed_kernel if packed
-            else _ballq_butterfly_kernel)
+    if transposed:
+        kern = (_ballq_butterfly_packed_kernel_t if packed
+                else _ballq_butterfly_kernel_t)
+    else:
+        kern = (_ballq_butterfly_packed_kernel if packed
+                else _ballq_butterfly_kernel)
     outs = pl.pallas_call(
         functools.partial(kern, radius, nsample, N,
                           emit_idx, interpret),
@@ -328,8 +499,13 @@ def query_ball_group_pallas(radius: float, nsample: int, xyz: jax.Array,
         interpret=interpret,
     )(x, q)
     gx, gy, gz, cnt = outs[:4]
+    if transposed:
+        gx, gy, gz = (jnp.swapaxes(v, 1, 2) for v in (gx, gy, gz))
     grouped = jnp.stack([gx, gy, gz], axis=-1)[:, :M]
     cnt = cnt[:, 0, :M]
     if emit_idx:
-        return grouped, cnt, outs[4][:, :M]
+        idx = outs[4]
+        if transposed:
+            idx = jnp.swapaxes(idx, 1, 2)
+        return grouped, cnt, idx[:, :M]
     return grouped, cnt, None

@@ -29,6 +29,7 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from articulated_pose_tpu.pose import umeyama
 from articulated_pose_tpu.pose.lm import (joint_transformation_estimate,
@@ -89,9 +90,9 @@ class PoseFitConfig:
     batch_joints: bool = False
 
 
-def partition_by_class(cls: jax.Array, n_parts: int):
-    """cls (N,) int -> (order (K, N) valid-first index buffers, cnt (K,)).
-    Fixed-size replacement for per-part np.where.
+def partition_by_class(cls: jax.Array, n_parts: int, cap: int | None = None):
+    """cls (N,) int -> (order (K, cap) valid-first index buffers, cnt (K,)).
+    Fixed-size replacement for per-part np.where; cap defaults to N.
 
     PRECONDITION: every cls value must lie in [0, n_parts).  Out-of-range
     labels (e.g. an ignore label of -1) are clamped into range here —
@@ -100,29 +101,44 @@ def partition_by_class(cls: jax.Array, n_parts: int):
     just its own).  Callers that carry genuine ignore labels should mask
     those points out before calling.
 
-    Row j's first cnt[j] entries are part j's member indices in ascending
-    index order; entries beyond cnt[j] are arbitrary in-range indices
-    (callers mask on cnt).  ONE stable argsort of the class vector groups
-    every part's members at once (each class run is in index order), and
-    the K rows are prefix-offset gathers into that single permutation —
-    replacing K independent full-length top_k sorts (the sort rows are
-    the batch dimension on TPU, so K× fewer rows is K× less sort work).
+    Row j's first min(cnt[j], cap) entries are part j's member indices in
+    ascending index order; entries beyond that are arbitrary in-range
+    indices (callers mask on cnt).  ONE sort of the composite key
+    (cls << ceil_log2(N)) | index groups every part's members at once
+    (each class run is in index order, and masking the key back out IS
+    the stable argsort — one plain sort instead of a key/value sort),
+    and the K rows are dynamic slices at the class-start offsets into
+    that single permutation — contiguous copies, not elementwise
+    gathers — replacing K independent full-length top_k sorts.
 
     (An XLA butterfly-compaction variant — the routing that wins inside
     the Pallas ball-query kernel — was A/B'd here and measured WORSE,
     2.5 vs 1.9 ms at B=64, N=2048, K=3 on v5e: at XLA level the 11
-    roll+select stages materialize HBM intermediates; a fused sort wins.)
+    roll+select stages materialize HBM intermediates; a fused sort wins.
+    The composite-key + dynamic-slice form of the sort path measured
+    4.48 -> 2.63 ms in the same window — docs/perf_round4.md.)
     """
     N = cls.shape[0]
+    if cap is None or cap > N:
+        cap = N
     cls = jnp.clip(cls, 0, n_parts - 1)
-    order_all = jnp.argsort(cls, stable=True).astype(jnp.int32)   # (N,)
+    shift = max(1, (N - 1).bit_length())
+    if (n_parts << shift) < 2**31:
+        iota = jnp.arange(N, dtype=jnp.int32)
+        skey = jnp.sort((cls.astype(jnp.int32) << shift) | iota)
+        order_all = skey & ((1 << shift) - 1)                     # (N,)
+    else:  # composite key would overflow i32: keep the key/value sort
+        order_all = jnp.argsort(cls, stable=True).astype(jnp.int32)
     cnts = jnp.sum((cls[None, :] == jnp.arange(
         n_parts, dtype=cls.dtype)[:, None]).astype(jnp.int32), axis=1)
     starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnts)[:-1]])
-    pos = jnp.minimum(starts[:, None]
-                      + jnp.arange(N, dtype=jnp.int32)[None, :], N - 1)
-    return order_all[pos], cnts
+    # pad so start+cap never clamps (dynamic_slice clamps the START,
+    # which would silently misalign rows whose class starts past N-cap)
+    order_pad = jnp.concatenate([order_all, jnp.zeros((cap,), jnp.int32)])
+    rows = jnp.stack([lax.dynamic_slice(order_pad, (starts[j],), (cap,))
+                      for j in range(n_parts)])
+    return rows, cnts
 
 
 def masked_median(x: jax.Array, mask: jax.Array) -> jax.Array:
@@ -222,16 +238,15 @@ def fit_frame(pred: Dict[str, jax.Array], P: jax.Array, key: jax.Array,
     K = cfg.n_parts
     N = P.shape[0]
     cls = jnp.argmax(pred["W"], axis=-1)
-    orders, cnts = partition_by_class(cls, K)
 
     # stacked valid-first part buffers: one gather each instead of K.
-    # The buffers are sliced to the cfg.part_points prefix (exact for
+    # The buffers are built at the cfg.part_points prefix (exact for
     # parts holding that many points or fewer; see the config docstring)
     # so all downstream per-part work runs at the cap, not N.
     cap = cfg.part_points
     if cap is None or cap > N:
         cap = N
-    orders_c = orders[:, :cap]
+    orders_c, cnts = partition_by_class(cls, K, cap=cap)
     iota_c = jnp.arange(cap)
     mask_all = (iota_c[None, :] < cnts[:, None]).astype(P.dtype)  # (K, cap)
     nocs_parts = jnp.transpose(

@@ -65,15 +65,20 @@ def main():
             idx_ref, cnt_ref = ops.query_ball_point(r, S, xyz, q)
             grouped_ref = ops.group_point(xyz, idx_ref) - q[:, :, None, :]
             for packed in (False, True):
-                grouped, cnt, idx = query_ball_group_pallas(
-                    r, S, xyz, q, emit_idx=True, packed=packed)
-                ok_i = np.array_equal(np.asarray(idx), np.asarray(idx_ref))
-                ok_c = np.array_equal(np.asarray(cnt), np.asarray(cnt_ref))
-                dmax = float(jnp.max(jnp.abs(grouped - grouped_ref)))
-                print(f"{tag} packed={packed}: idx exact {ok_i}, "
-                      f"cnt exact {ok_c}, grouped max|d| {dmax:.2e}")
-                assert ok_i and ok_c
-                assert dmax < (1e-6 if not packed else 1.2e-3)
+                for transposed in (False, True):
+                    grouped, cnt, idx = query_ball_group_pallas(
+                        r, S, xyz, q, emit_idx=True, packed=packed,
+                        transposed=transposed)
+                    ok_i = np.array_equal(np.asarray(idx),
+                                          np.asarray(idx_ref))
+                    ok_c = np.array_equal(np.asarray(cnt),
+                                          np.asarray(cnt_ref))
+                    dmax = float(jnp.max(jnp.abs(grouped - grouped_ref)))
+                    print(f"{tag} packed={packed} transposed={transposed}: "
+                          f"idx exact {ok_i}, cnt exact {ok_c}, "
+                          f"grouped max|d| {dmax:.2e}")
+                    assert ok_i and ok_c
+                    assert dmax < (1e-6 if not packed else 1.2e-3)
 
         # SA1 runs emit_idx=False in the model; SA2 runs emit_idx=True
         emit = tag == "SA2"
@@ -83,6 +88,13 @@ def main():
         timed(f"{tag} butterfly packed (emit_idx={emit})",
               lambda x, qq, e=emit: query_ball_group_pallas(
                   r, S, x, qq, emit_idx=e, packed=True)[:2], xyz, q)
+        timed(f"{tag} butterfly exact TRANSPOSED (emit_idx={emit})",
+              lambda x, qq, e=emit: query_ball_group_pallas(
+                  r, S, x, qq, emit_idx=e, transposed=True)[:2], xyz, q)
+        timed(f"{tag} butterfly packed TRANSPOSED (emit_idx={emit})",
+              lambda x, qq, e=emit: query_ball_group_pallas(
+                  r, S, x, qq, emit_idx=e, packed=True,
+                  transposed=True)[:2], xyz, q)
         from articulated_pose_tpu.ops.pallas import query_ball_group_bucket
         timed(f"{tag} bucket segment-sum (emit_idx={emit})",
               lambda x, qq, e=emit: query_ball_group_bucket(

@@ -338,6 +338,42 @@ class TestButterflyBallQuery:
         np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
         np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
 
+    @pytest.mark.parametrize("packed", [False, True])
+    @pytest.mark.parametrize("emit_idx", [False, True])
+    def test_transposed_matches_lane_variant(self, rng, packed, emit_idx):
+        """Sublane-routing twin: bitwise-identical to the lane kernel."""
+        from articulated_pose_tpu.ops.pallas import query_ball_group_pallas
+        B, N, M, S, r = 2, 300, 140, 16, 0.25
+        xyz = jnp.asarray(rng.rand(B, N, 3), jnp.float32)
+        qi = rng.choice(N, size=(B, M))
+        q = jnp.stack([xyz[b, qi[b]] for b in range(B)])
+        ref = query_ball_group_pallas(r, S, xyz, q, emit_idx=emit_idx,
+                                      interpret=True, packed=packed)
+        got = query_ball_group_pallas(r, S, xyz, q, emit_idx=emit_idx,
+                                      interpret=True, packed=packed,
+                                      transposed=True)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+        if emit_idx:
+            np.testing.assert_array_equal(np.asarray(got[2]),
+                                          np.asarray(ref[2]))
+        else:
+            assert got[2] is None
+
+    def test_transposed_exact_matches_oracle(self, rng):
+        from articulated_pose_tpu.ops.pallas import query_ball_group_pallas
+        xyz = jnp.asarray(rng.rand(1, 512, 3), jnp.float32)
+        q = jnp.asarray(rng.rand(1, 128, 3), jnp.float32)
+        grouped, cnt, idx = query_ball_group_pallas(
+            0.3, 32, xyz, q, emit_idx=True, interpret=True, transposed=True)
+        idx_r, cnt_r = core.query_ball_point(0.3, 32, xyz, q)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_r))
+        np.testing.assert_array_equal(np.asarray(cnt), np.asarray(cnt_r))
+        want = (np.asarray(core.group_point(xyz, idx_r))
+                - np.asarray(q)[:, :, None, :])
+        np.testing.assert_allclose(np.asarray(grouped), want,
+                                   rtol=1e-6, atol=1e-6)
+
 
 class TestFPSAutoBlock:
     def test_auto_block_large_cloud(self, rng):

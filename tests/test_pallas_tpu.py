@@ -98,15 +98,17 @@ class TestBallQueryOnTPU:
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_r))
         np.testing.assert_array_equal(np.asarray(cnt), np.asarray(cnt_r))
 
+    @pytest.mark.parametrize("transposed", [False, True])
     @pytest.mark.parametrize("B,N,M,S,r", [(64, 2048, 512, 64, 0.2),
                                            (64, 512, 128, 64, 0.4)])
-    def test_butterfly_fused_exact(self, rng, B, N, M, S, r):
+    def test_butterfly_fused_exact(self, rng, B, N, M, S, r, transposed):
         from articulated_pose_tpu import ops
         from articulated_pose_tpu.ops.pallas import query_ball_group_pallas
 
         xyz, q = _clouds(rng, B, N, M)
         grouped, cnt, idx = query_ball_group_pallas(r, S, xyz, q,
-                                                    emit_idx=True)
+                                                    emit_idx=True,
+                                                    transposed=transposed)
         idx_r, cnt_r = ops.query_ball_point(r, S, xyz, q)
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_r))
         np.testing.assert_array_equal(np.asarray(cnt), np.asarray(cnt_r))
@@ -115,9 +117,10 @@ class TestBallQueryOnTPU:
         # coordinates ride the butterfly unchanged -> bitwise equal
         np.testing.assert_array_equal(np.asarray(grouped), want)
 
+    @pytest.mark.parametrize("transposed", [False, True])
     @pytest.mark.parametrize("B,N,M,S,r", [(64, 2048, 512, 64, 0.2),
                                            (64, 512, 128, 64, 0.4)])
-    def test_butterfly_fused_packed(self, rng, B, N, M, S, r):
+    def test_butterfly_fused_packed(self, rng, B, N, M, S, r, transposed):
         """packed=True on chip: idx/cnt exact; grouped coords within the
         10-bit quantization bound extent_c/2046 per component."""
         from articulated_pose_tpu import ops
@@ -126,7 +129,8 @@ class TestBallQueryOnTPU:
         xyz, q = _clouds(rng, B, N, M)
         grouped, cnt, idx = query_ball_group_pallas(r, S, xyz, q,
                                                     emit_idx=True,
-                                                    packed=True)
+                                                    packed=True,
+                                                    transposed=transposed)
         idx_r, cnt_r = ops.query_ball_point(r, S, xyz, q)
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_r))
         np.testing.assert_array_equal(np.asarray(cnt), np.asarray(cnt_r))

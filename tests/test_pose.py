@@ -268,6 +268,35 @@ class TestPipeline:
         np.testing.assert_array_equal(np.asarray(orders)[0, :3], [1, 4, 5])
         np.testing.assert_array_equal(np.asarray(orders)[1, :2], [0, 2])
 
+    def test_partition_by_class_cap(self):
+        """cap < N: each row's prefix still holds that part's members in
+        ascending order, including classes starting past N - cap (the
+        dynamic-slice start-clamp hazard)."""
+        rng = np.random.RandomState(3)
+        cls_np = rng.randint(0, 3, size=200)
+        cls_np[:150] = 0          # class 1 and 2 start past N - cap
+        orders, cnts = pipeline.partition_by_class(jnp.asarray(cls_np), 3,
+                                                   cap=32)
+        assert orders.shape == (3, 32)
+        for j in range(3):
+            want = np.where(cls_np == j)[0][:min(32, int(cnts[j]))]
+            got = np.asarray(orders)[j, :len(want)]
+            np.testing.assert_array_equal(got, want)
+        np.testing.assert_array_equal(
+            np.asarray(cnts), np.bincount(cls_np, minlength=3))
+
+    def test_partition_by_class_matches_argsort(self):
+        """Composite-key sort path == stable argsort semantics at a
+        production-like shape, all entries in-range."""
+        rng = np.random.RandomState(5)
+        cls_np = rng.randint(0, 3, size=2048)
+        orders, cnts = pipeline.partition_by_class(jnp.asarray(cls_np), 3)
+        orders = np.asarray(orders)
+        assert ((orders >= 0) & (orders < 2048)).all()
+        for j in range(3):
+            want = np.where(cls_np == j)[0]
+            np.testing.assert_array_equal(orders[j, :len(want)], want)
+
     def test_masked_median(self):
         x = jnp.asarray([[1.0, 10], [2.0, 20], [3.0, 30], [100.0, -5]])
         m = jnp.asarray([1.0, 1, 1, 0])
