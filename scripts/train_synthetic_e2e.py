@@ -72,7 +72,8 @@ def main():
     from articulated_pose_tpu.data.device_synthetic import (
         DeviceSynthetic, make_fused_synthetic_train_step)
     from articulated_pose_tpu.data.synthetic import SyntheticArticulated
-    from articulated_pose_tpu.eval.pipeline import (evaluate_fits,
+    from articulated_pose_tpu.eval.pipeline import (compute_gt_poses,
+                                                    evaluate_fits,
                                                     gt_joint_lines,
                                                     joint_errors,
                                                     pred_joint_lines)
@@ -151,6 +152,7 @@ def main():
                              lm_refit_points=args.lm_refit_points)
     fits, gts = [], []
     nocs_pred_l, nocs_gt_l, cls_l, seg_acc = [], [], [], []
+    gts_global, P_l, cls_pred_l = [], [], []
     joint_errs = []
     ek = jax.random.PRNGKey(9999)
     sample_batch = jax.jit(lambda k, n: dg.sample_batch(k, n),
@@ -176,6 +178,17 @@ def main():
             nocs_pred_l.append(pred["nocs_per_point"][i])
             nocs_gt_l.append(batch["nocs_gt"][i])
             cls_l.append(batch["cls_gt"][i].astype(int))
+            # GT GLOBAL-NOCS poses for the relative inter-part metrics
+            # (reference eval_pose_err.py:307-335: rel rotation from the
+            # part-NOCS GT pair, rel translation from the NAOCS GT pair
+            # + part-boundary trick on the predictions)
+            gg = compute_gt_poses(batch["nocs_gt_g"][i], batch["P"][i],
+                                  batch["cls_gt"][i].astype(int), K)
+            gts_global.append({
+                kk: [None if e is None else e[kk] for e in gg]
+                for kk in ("R", "s", "t")})
+            P_l.append(batch["P"][i])
+            cls_pred_l.append(np.argmax(pred["W"][i], -1))
             # joint-parameter metrics (eval_joint_params.py protocol)
             if "gocs_per_point" in pred:
                 base_fit = {"R": out["nonlinear_R"][i][0],
@@ -191,7 +204,9 @@ def main():
                                                        b["point"]))
 
     report = evaluate_fits(fits, gts, K, nocs_pred=nocs_pred_l,
-                           nocs_gt=nocs_gt_l, cls_list=cls_l, miou_nres=30)
+                           nocs_gt=nocs_gt_l, cls_list=cls_l, miou_nres=30,
+                           gts_global=gts_global, P_list=P_l,
+                           cls_pred_list=cls_pred_l)
     print(f"seg accuracy: {np.mean(seg_acc):.4f}", flush=True)
     print(report.summary(), flush=True)
     if joint_errs:
@@ -202,9 +217,16 @@ def main():
         print(f"joints: axis err {report.overall['joint_axis_err_deg']:.2f}° "
               f"line dist {report.overall['joint_line_dist']:.4f} "
               f"({len(joint_errs)} joints)", flush=True)
+    if report.per_joint:
+        for j, stats in enumerate(report.per_joint):
+            parts = [f"{kk}={vv:.4f}" for kk, vv in stats.items()
+                     if kk.endswith("mean")]
+            print(f"joint {j + 1} ({joint_types[j]}): "
+                  + " ".join(parts), flush=True)
     os.makedirs(args.work, exist_ok=True)
     with open(os.path.join(args.work, "report.json"), "w") as f:
         json.dump({"per_part": report.per_part, "overall": report.overall,
+                   "per_joint": report.per_joint,
                    "seg_acc": float(np.mean(seg_acc)),
                    "category": args.category, "seed": args.seed,
                    "n_parts": K, "joint_types": list(joint_types),
