@@ -42,6 +42,11 @@ _GT_KEYS = [
     ("unitvec_gt", "unitvec_gt"),
     ("orient_gt", "orient_gt"),
     ("joint_cls_gt", "joint_cls_gt"),
+    # real-data (BMVC15) normalization metadata so offline eval can
+    # denormalize poses back to metric camera space
+    # (lib/prediction_io.py:97-129 save_batch_nn_real)
+    ("P_center", "P_center"),
+    ("P_scale", "P_scale"),
 ]
 
 

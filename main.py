@@ -151,6 +151,72 @@ def cmd_test(args):
     print(f"wrote {lo} prediction files to {save_dir}")
 
 
+# h5 output key -> model prediction key (utils/prediction_io._PRED_KEYS
+# reversed); `instance_per_point` keeps the reference's legacy name for W
+_H5_TO_PRED = {
+    "instance_per_point": "W",
+    "nocs_per_point": "nocs_per_point",
+    "gocs_per_point": "gocs_per_point",
+    "confidence": "confi_per_point",
+    "heatmap_per_point": "heatmap_per_point",
+    "unitvec_per_point": "unitvec_per_point",
+    "joint_axis_per_point": "joint_axis_per_point",
+    "index_per_point": "index_per_point",
+}
+_H5_GT_KEYS = ("P", "cls_gt", "nocs_gt", "nocs_gt_g", "heatmap_gt",
+               "unitvec_gt", "orient_gt", "joint_cls_gt",
+               "P_center", "P_scale")
+
+
+def iter_saved_predictions(pred_dir: str, batch_size: int,
+                           baseline_dir: str | None = None,
+                           n_max_parts: int | None = None):
+    """Yield (pred, batch) dicts from per-frame prediction h5 files.
+
+    The decoupled offline protocol (reference: evaluation/
+    parallel_ancsh_pose.py:225-247 + pose_multi_process.py — the pose
+    stage never shares a process with the network).  Files are consumed
+    in sorted basename order, `batch_size` frames per yield.
+
+    With `baseline_dir`, each frame's segmentation + part NOCS come from
+    the separately trained NPCS baseline's h5 of the same basename while
+    the joint heads stay from the ANCSH h5 — the reference's
+    USE_BASELINE pairing (parallel_ancsh_pose.py:197,233-238: `fb` h5
+    overrides nocs_pred/mask_pred; `f['joint_axis_per_point']` and the
+    target cloud `f['P']` stay from the ANCSH file).
+    """
+    from articulated_pose_tpu.utils.prediction_io import load_prediction
+
+    names = sorted(n for n in os.listdir(pred_dir) if n.endswith(".h5"))
+    if not names:
+        sys.exit(f"--from_pred: no .h5 prediction files under {pred_dir}")
+    for lo in range(0, len(names), batch_size):
+        frames = []
+        for n in names[lo:lo + batch_size]:
+            d = load_prediction(os.path.join(pred_dir, n))
+            if baseline_dir is not None:
+                bpath = os.path.join(baseline_dir, n)
+                if not os.path.exists(bpath):
+                    sys.exit(f"--baseline_pred: no matching {n} under "
+                             f"{baseline_dir}")
+                fb = load_prediction(bpath)
+                d["instance_per_point"] = fb["instance_per_point"]
+                d["nocs_per_point"] = fb["nocs_per_point"]
+            frames.append(d)
+        pred = {pk: np.stack([f[hk] for f in frames])
+                for hk, pk in _H5_TO_PRED.items() if hk in frames[0]}
+        batch = {k: np.stack([f[k] for f in frames])
+                 for k in _H5_GT_KEYS if k in frames[0]}
+        if n_max_parts is not None:
+            got = pred["nocs_per_point"].shape[-1]
+            if got != 3 * n_max_parts:
+                sys.exit(f"--from_pred: nocs_per_point has {got} channels "
+                         f"but --item implies {3 * n_max_parts} "
+                         f"(n_max_parts={n_max_parts}) — wrong --item for "
+                         "this prediction dir?")
+        yield pred, batch
+
+
 def cmd_pose_eval(args, do_pose=True):
     """Pose fitting + evaluation in one pass (synthetic path has exact GT)."""
     import jax
@@ -159,25 +225,46 @@ def cmd_pose_eval(args, do_pose=True):
     from articulated_pose_tpu.eval.pipeline import (
         compute_gt_poses, evaluate_fits, gt_joint_lines, joint_errors,
         pred_joint_lines, segmentation_iou)
-    from articulated_pose_tpu.models.ancsh import build_model
     from articulated_pose_tpu.pose.naocs import naocs_pred_view
     from articulated_pose_tpu.pose.pipeline import PoseFitConfig, fit_frame_batch
-    from articulated_pose_tpu.train.trainer import Trainer
     from articulated_pose_tpu.utils import transforms as trn
 
     cfg, spec = build_config(args)
-    model = build_model(cfg)
-    # the reference eval protocol runs on a subsampled frame grid
-    # (lib/data_utils.py:907-933); --full_test keeps every frame
-    test_it = make_datasets(args, cfg, spec, "test", domain=args.domain,
-                            eval_subsample=not args.full_test)
-    work = args.work_dir or os.path.join(cfg.experiment_dir, cfg.category,
-                                         cfg.nocs_type)
-    tr = Trainer(model, cfg, work_dir=work)
-    restored = tr.maybe_restore()
-    print(f"restored checkpoint step {restored}"
-          if restored else "WARNING: no checkpoint found — evaluating a "
-                           "randomly initialized model")
+    if args.from_pred:
+        # offline path: no model, no checkpoint — predictions from disk
+        if args.synthetic:
+            sys.exit("--from_pred and --synthetic are mutually exclusive "
+                     "(saved predictions carry their own GT labels)")
+        test_it = None
+        work = args.work_dir or args.from_pred
+        print(f"evaluating saved predictions from {args.from_pred}"
+              + (f" paired with baseline {args.baseline_pred}"
+                 if args.baseline_pred else ""))
+
+        def batch_source():
+            return iter_saved_predictions(args.from_pred, cfg.batch_size,
+                                          baseline_dir=args.baseline_pred,
+                                          n_max_parts=cfg.n_max_parts)
+    else:
+        from articulated_pose_tpu.models.ancsh import build_model
+        from articulated_pose_tpu.train.trainer import Trainer
+
+        model = build_model(cfg)
+        # the reference eval protocol runs on a subsampled frame grid
+        # (lib/data_utils.py:907-933); --full_test keeps every frame
+        test_it = make_datasets(args, cfg, spec, "test", domain=args.domain,
+                                eval_subsample=not args.full_test)
+        work = args.work_dir or os.path.join(cfg.experiment_dir, cfg.category,
+                                             cfg.nocs_type)
+        trainer = Trainer(model, cfg, work_dir=work)
+        restored = trainer.maybe_restore()
+        print(f"restored checkpoint step {restored}"
+              if restored else "WARNING: no checkpoint found — evaluating a "
+                               "randomly initialized model")
+
+        def batch_source():
+            for batch in test_it:
+                yield trainer.predict(batch), batch
     pose_cfg = PoseFitConfig(
         n_parts=cfg.n_max_parts, niter_part=cfg.ransac_niter_part,
         niter_joint=cfg.ransac_niter_joint, inlier_th=cfg.ransac_inlier_th,
@@ -191,8 +278,7 @@ def cmd_pose_eval(args, do_pose=True):
     joint_errs = []
     seg_miou, seg_miou_h = [], []
     fi = 0
-    for batch in test_it:
-        pred = tr.predict(batch)
+    for pred, batch in batch_source():
         pose_pred = {k: jnp.asarray(pred[k]) for k in
                      ("W", "nocs_per_point", "gocs_per_point",
                       "joint_axis_per_point", "index_per_point") if k in pred}
@@ -200,8 +286,15 @@ def cmd_pose_eval(args, do_pose=True):
             # NAOCS baseline fit: source coords from the gocs head
             # (baseline_naocs.py:244-262 equivalent)
             pose_pred = naocs_pred_view(pose_pred, cfg.n_max_parts)
+        # GT joint association for the axis vote (the reference
+        # evaluation/ solver's protocol, parallel_ancsh_pose.py:244-247)
+        # only when configured AND labeled
+        jc_gt = (jnp.asarray(batch["joint_cls_gt"])
+                 if pose_cfg.use_gt_association and "joint_cls_gt" in batch
+                 else None)
         out = jax.device_get(fit_frame_batch(
-            pose_pred, jnp.asarray(batch["P"]), key, pose_cfg))
+            pose_pred, jnp.asarray(batch["P"]), key, pose_cfg,
+            joint_cls_gt=jc_gt))
         B = batch["P"].shape[0]
         prefix = "nonlinear" if ("nonlinear_R" in out and not args.baseline_only) \
             else "baseline"
@@ -330,7 +423,8 @@ def cmd_pose_eval(args, do_pose=True):
         print(f"joints: axis err {ax:.2f}°  line dist {ld:.4f} ({len(joint_errs)} joints)")
         report.overall["joint_axis_err_deg"] = ax
         report.overall["joint_line_dist"] = ld
-    out_path = os.path.join(work, f"eval_{args.domain or 'all'}.json")
+    tag = "from_pred_" if args.from_pred else ""
+    out_path = os.path.join(work, f"eval_{tag}{args.domain or 'all'}.json")
     os.makedirs(work, exist_ok=True)
     with open(out_path, "w") as f:
         json.dump({"per_part": report.per_part, "overall": report.overall,
@@ -443,6 +537,19 @@ def main(argv=None):
                          "subsampled grid (get_full_test vs get_test_group)")
     ap.add_argument("--nocs", default="NPCS", choices=["NPCS", "NAOCS"],
                     help="pose-fit source space (NAOCS = gocs head)")
+    ap.add_argument("--from_pred", default=None,
+                    help="pose/eval: directory of per-frame prediction .h5 "
+                         "files (written by `main.py test`) to evaluate "
+                         "offline instead of re-running the network — the "
+                         "reference's decoupled protocol "
+                         "(evaluation/pose_multi_process.py)")
+    ap.add_argument("--baseline_pred", default=None,
+                    help="pose/eval with --from_pred: directory of the "
+                         "separately trained NPCS baseline's prediction h5; "
+                         "its segmentation + part NOCS replace the ANCSH "
+                         "ones while the joint heads stay (the reference's "
+                         "USE_BASELINE pairing, "
+                         "evaluation/parallel_ancsh_pose.py:225-247)")
     ap.add_argument("--input", default=None,
                     help="serve: .npy/.npz of (B, N, 3) clouds (npz key 'P')")
     ap.add_argument("--output", default=None,
@@ -457,6 +564,11 @@ def main(argv=None):
                          "the global_info.py joint_baseline experiments)")
     args = ap.parse_args(argv)
 
+    if args.baseline_pred and not args.from_pred:
+        sys.exit("--baseline_pred requires --from_pred (it pairs two saved "
+                 "prediction directories)")
+    if args.from_pred and args.command not in ("pose", "eval"):
+        sys.exit("--from_pred only applies to the pose/eval commands")
     if args.model == "joint_baseline":
         if args.command == "serve":
             sys.exit("serve is only available for --model ancsh "

@@ -17,24 +17,27 @@ OUTDIR="${2:-docs}"
 HERE="$(cd "$(dirname "$0")/.." && pwd)"
 cd "$HERE"
 
-# category  seed   extra flags (n_parts/joint_types come from the registry)
+# category  seed  steps (n_parts/joint_types come from the registry).
+# The 3-part categories (eyeglasses, drawer) train 3x longer: the round-4
+# README table showed 3-part rot err 4.60 deg at 8k vs 1.52 deg at 24k —
+# 8k under-trains them while the 2-part categories are converged.
 SWEEP=(
-  "eyeglasses      1"
-  "laptop          2"
-  "oven            42"
-  "washing_machine 43"
-  "drawer          3"
+  "eyeglasses      1  $((3 * STEPS))"
+  "laptop          2  $STEPS"
+  "oven            42 $STEPS"
+  "washing_machine 43 $STEPS"
+  "drawer          3  $((3 * STEPS))"
 )
 
 SUMMARY="$OUTDIR/e2e_sweep_summary.json"
 echo "{" > "$SUMMARY.tmp"
 first=1
 for row in "${SWEEP[@]}"; do
-  read -r cat seed <<< "$row"
+  read -r cat seed steps <<< "$row"
   work="/tmp/e2e_sweep_$cat"
-  echo "=== $cat (seed $seed, $STEPS steps) ==="
+  echo "=== $cat (seed $seed, $steps steps) ==="
   python scripts/train_synthetic_e2e.py \
-    --category "$cat" --seed "$seed" --steps "$STEPS" \
+    --category "$cat" --seed "$seed" --steps "$steps" \
     --work "$work"
   cp "$work/report.json" "$OUTDIR/e2e_${cat}_report.json"
   [ $first -eq 0 ] && echo "," >> "$SUMMARY.tmp"

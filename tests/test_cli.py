@@ -145,6 +145,55 @@ class TestCLI:
         assert r.returncode == 0, r.stderr[-2000:]
         assert "final:" in r.stdout
 
+    def test_from_pred_round_trip(self, tmp_path):
+        """Offline protocol: `test` writes h5 -> `eval --from_pred`
+        reproduces the live-path eval JSON (fit side bit-identical: same
+        preds, same batching, same PRNG; GT side differs only by
+        compute_gt_poses' Umeyama refit of the exact synthetic labels).
+        Also exercises --baseline_pred with the dir paired to itself,
+        which must be a no-op (identical W/nocs override)."""
+        work = str(tmp_path / "work")
+        r = run_cli("demo", "--synthetic", "--max_steps", "4",
+                    "--batch_size", "4", "--num_points", "128",
+                    "--synthetic_frames", "8", "--work_dir", work)
+        assert r.returncode == 0, r.stderr[-2000:]
+        r = run_cli("test", "--synthetic", "--synthetic_frames", "8",
+                    "--batch_size", "4", "--num_points", "128",
+                    "--work_dir", work)
+        assert r.returncode == 0, r.stderr[-2000:]
+        pred_dir = os.path.join(work, "test_pred")
+        assert len([n for n in os.listdir(pred_dir)
+                    if n.endswith(".h5")]) == 8
+
+        r = run_cli("eval", "--synthetic", "--synthetic_frames", "8",
+                    "--batch_size", "4", "--num_points", "128",
+                    "--work_dir", work)
+        assert r.returncode == 0, r.stderr[-2000:]
+        live = json.load(open(os.path.join(work, "eval_all.json")))
+
+        r = run_cli("eval", "--from_pred", pred_dir, "--batch_size", "4",
+                    "--num_points", "128")
+        assert r.returncode == 0, r.stderr[-2000:]
+        off_path = os.path.join(pred_dir, "eval_from_pred_all.json")
+        off = json.load(open(off_path))
+        assert off["n_frames"] == live["n_frames"]
+        for lp, op in zip(live["per_part"], off["per_part"]):
+            # identical fits, GT poses refit from exact labels -> tight
+            assert abs(lp["rot_err_deg_mean"] - op["rot_err_deg_mean"]) < 0.5
+            assert abs(lp["trans_err_mean"] - op["trans_err_mean"]) < 0.02
+        assert abs(live["overall"]["seg_miou"]
+                   - off["overall"]["seg_miou"]) < 1e-6
+
+        # self-paired baseline: overriding W/nocs with themselves is a
+        # no-op -> byte-identical report
+        os.remove(off_path)
+        r = run_cli("eval", "--from_pred", pred_dir,
+                    "--baseline_pred", pred_dir,
+                    "--batch_size", "4", "--num_points", "128")
+        assert r.returncode == 0, r.stderr[-2000:]
+        paired = json.load(open(off_path))
+        assert paired == off
+
     def test_joint_baseline_train_eval(self, tmp_path):
         """--model joint_baseline: the reference's third experiment family
         (lib/architecture.py:163-192) drivable end to end."""
