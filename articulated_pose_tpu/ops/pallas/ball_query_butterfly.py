@@ -194,6 +194,39 @@ def _butterfly_route_t(rem: jax.Array, planes, sub: jax.Array,
     return planes
 
 
+def _quantize_pack_coords(pts: jax.Array, n_valid: int):
+    """10-bit-per-component fixed-point pack of the raw coordinates —
+    the SHARED prologue of both packed kernels (lane and transposed;
+    any fix here applies to both).
+
+    pts (N, 3) -> (packed (N,) i32, mn (3,), ext (3,)).  Quantizes each
+    component over the masked per-component cloud bbox (padded lanes —
+    wrapper pads with 1e9 — are excluded) and packs 3x10 bits into one
+    i32 per point.
+
+    MOSAIC WORKAROUND (load-bearing): pack via a lane-wise shift +
+    minor-dim sum, NOT per-lane extracts
+    (`qp[:, 0] | (qp[:, 1] << 10) | (qp[:, 2] << 20)`): the extract+
+    shift+or chain miscompiles on current Mosaic — the z field comes
+    out 1..7 units LOW on ~0.6% of points (isolated to `qp[:, 2] << 20`
+    broadcast alone; the identical expression OR'd with another lane
+    extract compiles correctly).  The sum form measured exact on chip
+    up to the benign half-quantum boundary flips from the VPU's 1-ulp
+    reciprocal in `scl`.  See docs/perf_round3.md (Mosaic findings).
+    """
+    N = pts.shape[0]
+    lane_n = lax.broadcasted_iota(jnp.int32, (N, 3), 0)
+    valid_n = lane_n < n_valid
+    mn = jnp.min(jnp.where(valid_n, pts, jnp.inf), axis=0)     # (3,)
+    mx = jnp.max(jnp.where(valid_n, pts, -jnp.inf), axis=0)
+    ext = jnp.maximum(mx - mn, 1e-6)
+    scl = 1023.0 / ext
+    qp = jnp.clip(jnp.floor((pts - mn[None, :]) * scl[None, :] + 0.5),
+                  0.0, 1023.0).astype(jnp.int32)               # (N, 3)
+    lane_sh = lax.broadcasted_iota(jnp.int32, (N, 3), 1) * 10
+    return jnp.sum(qp << lane_sh, axis=1), mn, ext
+
+
 def _ballq_butterfly_kernel_t(radius: float, nsample: int, n_valid: int,
                               emit_idx: bool, interpret: bool,
                               xyz_ref, q_ref, *out_refs):
@@ -246,16 +279,9 @@ def _ballq_butterfly_packed_kernel_t(radius: float, nsample: int,
 
     sub, cnt, rem = _hits_rank_rem_t(radius, nsample, n_valid, pts, q)
 
-    lane_n = lax.broadcasted_iota(jnp.int32, (N, 3), 0)
-    valid_n = lane_n < n_valid
-    mn = jnp.min(jnp.where(valid_n, pts, jnp.inf), axis=0)     # (3,)
-    mx = jnp.max(jnp.where(valid_n, pts, -jnp.inf), axis=0)
-    ext = jnp.maximum(mx - mn, 1e-6)
-    scl = 1023.0 / ext
-    qp = jnp.clip(jnp.floor((pts - mn[None, :]) * scl[None, :] + 0.5),
-                  0.0, 1023.0).astype(jnp.int32)               # (N, 3)
-    lane_sh = lax.broadcasted_iota(jnp.int32, (N, 3), 1) * 10
-    packed_col = jnp.sum(qp << lane_sh, axis=1, keepdims=True)  # (N, 1)
+    # shared quantize/pack prologue (Mosaic pack workaround lives there)
+    packed_vec, mn, ext = _quantize_pack_coords(pts, n_valid)
+    packed_col = packed_vec[:, None]                            # (N, 1)
     planes = [jnp.broadcast_to(packed_col, (N, BM))]
     if emit_idx:
         planes.append(sub)
@@ -358,25 +384,9 @@ def _ballq_butterfly_packed_kernel(radius: float, nsample: int, n_valid: int,
     lane, cnt, rem = _hits_rank_rem(radius, nsample, n_valid, pts, q)
 
     # ---- packed coordinate plane (pure function of pts, row-broadcast).
-    # Padded lanes (wrapper pads with 1e9) are masked out of the bbox.
-    lane_n = lax.broadcasted_iota(jnp.int32, (N, 3), 0)
-    valid_n = lane_n < n_valid
-    mn = jnp.min(jnp.where(valid_n, pts, jnp.inf), axis=0)     # (3,)
-    mx = jnp.max(jnp.where(valid_n, pts, -jnp.inf), axis=0)
-    ext = jnp.maximum(mx - mn, 1e-6)
-    scl = 1023.0 / ext
-    qp = jnp.clip(jnp.floor((pts - mn[None, :]) * scl[None, :] + 0.5),
-                  0.0, 1023.0).astype(jnp.int32)               # (N, 3)
-    # Pack via a lane-wise shift + minor-dim sum, NOT per-lane extracts
-    # (`qp[:, 0] | (qp[:, 1] << 10) | (qp[:, 2] << 20)`): the extract+
-    # shift+or chain miscompiles on current Mosaic — the z field comes
-    # out 1..7 units LOW on ~0.6% of points (isolated to `qp[:, 2] << 20`
-    # broadcast alone; the identical expression OR'd with another lane
-    # extract compiles correctly).  The sum form measured exact on chip
-    # up to the benign half-quantum boundary flips from the VPU's 1-ulp
-    # reciprocal in `scl`.  See docs/perf_round3.md (Mosaic findings).
-    lane_sh = lax.broadcasted_iota(jnp.int32, (N, 3), 1) * 10
-    packed_vec = jnp.sum(qp << lane_sh, axis=1)
+    # Shared quantize/pack prologue — the Mosaic shift+or pack
+    # workaround lives in _quantize_pack_coords (both variants use it).
+    packed_vec, mn, ext = _quantize_pack_coords(pts, n_valid)
     p1 = jnp.broadcast_to(packed_vec[None, :], (BM, N))
     planes = [p1]
     if emit_idx:

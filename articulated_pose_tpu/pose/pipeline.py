@@ -88,6 +88,15 @@ class PoseFitConfig:
     # a similar vmap predates the part_points cap that made the stacked
     # buffers small — re-A/B'd in round 4, see docs/perf_round4.md.)
     batch_joints: bool = False
+    # part-buffer build: 'sort' (the composite-key sort carries P and the
+    # K nocs planes as lax.sort value operands, then each part buffer is
+    # a contiguous dynamic slice — no row gathers at all, the same
+    # contiguous-copy trick that won 6.3x on the partition) or 'gather'
+    # (partition_by_class + two row gathers, the round-2..4 incumbent).
+    # A/B at B=64/N=2048/K=3 on v5e: masked buffers bit-identical on all
+    # 64 frames, full pose fit 10.33 -> 8.46 ms (scripts/
+    # ab_buffer_builds.py, docs/perf_round5.md).
+    buffer_build: str = "sort"
 
 
 def partition_by_class(cls: jax.Array, n_parts: int, cap: int | None = None):
@@ -139,6 +148,54 @@ def partition_by_class(cls: jax.Array, n_parts: int, cap: int | None = None):
     rows = jnp.stack([lax.dynamic_slice(order_pad, (starts[j],), (cap,))
                       for j in range(n_parts)])
     return rows, cnts
+
+
+def build_part_buffers_sorted(nocs: jax.Array, P: jax.Array,
+                              cls: jax.Array, n_parts: int, cap: int):
+    """Valid-first part buffers with ZERO row gathers.
+
+    nocs (N, 3K), P (N, 3), cls (N,) -> (src (K, cap, 3), tgt (K, cap, 3),
+    mask (K, cap), cnts (K,)), identical (after masking) to the gather
+    build in fit_frame.
+
+    The composite key (cls << ceil_log2(N)) | index is sorted ONCE with
+    the 3 P columns and the 3K per-part nocs columns riding along as
+    lax.sort value operands; each part's buffer is then a contiguous
+    dynamic slice of the sorted payload at its class-start offset.  This
+    replaces the two elementwise row gathers of 2x(K*cap) rows — the
+    round-4 roofline's named pose-setup residue on a chip whose
+    effective gather rate probed at 0.6 GB/s (docs/roofline_r4.md) —
+    with sequential copies (A/B: scripts/ab_buffer_builds.py).
+    """
+    N = cls.shape[0]
+    K = n_parts
+    cls = jnp.clip(cls, 0, K - 1)
+    shift = max(1, (N - 1).bit_length())
+    if (K << shift) >= 2**31:  # needs K*N >= 2^31 points — not a real shape
+        raise ValueError(f"composite key overflows i32 (n_parts={K}, "
+                         f"N={N}); use buffer_build='gather'")
+    iota = jnp.arange(N, dtype=jnp.int32)
+    ckey = (cls.astype(jnp.int32) << shift) | iota
+    cols = [P[:, c] for c in range(3)]
+    cols += [nocs[:, 3 * j + c] for j in range(K) for c in range(3)]
+    sorted_ = lax.sort([ckey] + cols, num_keys=1)
+    cnts = jnp.sum((cls[None, :] == jnp.arange(
+        K, dtype=cls.dtype)[:, None]).astype(jnp.int32), axis=1)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnts)[:-1]])
+    # pad so start+cap never clamps (see partition_by_class)
+    zpad = jnp.zeros((cap,), P.dtype)
+    padded = [jnp.concatenate([c, zpad]) for c in sorted_[1:]]
+    mask = (jnp.arange(cap)[None, :] < cnts[:, None]).astype(P.dtype)
+
+    def rows(colset, j):
+        return jnp.stack([lax.dynamic_slice(padded[i], (starts[j],), (cap,))
+                          for i in colset], axis=1)
+
+    tgt = jnp.stack([rows(range(0, 3), j) for j in range(K)])
+    src = jnp.stack([rows(range(3 + 3 * j, 6 + 3 * j), j)
+                     for j in range(K)])
+    return (src * mask[:, :, None], tgt * mask[:, :, None], mask, cnts)
 
 
 def masked_median(x: jax.Array, mask: jax.Array) -> jax.Array:
@@ -246,14 +303,18 @@ def fit_frame(pred: Dict[str, jax.Array], P: jax.Array, key: jax.Array,
     cap = cfg.part_points
     if cap is None or cap > N:
         cap = N
-    orders_c, cnts = partition_by_class(cls, K, cap=cap)
-    iota_c = jnp.arange(cap)
-    mask_all = (iota_c[None, :] < cnts[:, None]).astype(P.dtype)  # (K, cap)
-    nocs_parts = jnp.transpose(
-        pred["nocs_per_point"].reshape(N, K, 3), (1, 0, 2))      # (K, N, 3)
-    src_all = jnp.take_along_axis(nocs_parts, orders_c[:, :, None], axis=1)
-    src_all = src_all * mask_all[:, :, None]
-    tgt_all = P[orders_c] * mask_all[:, :, None]                 # (K, cap, 3)
+    if cfg.buffer_build == "sort":
+        src_all, tgt_all, mask_all, cnts = build_part_buffers_sorted(
+            pred["nocs_per_point"], P, cls, K, cap)
+    else:
+        orders_c, cnts = partition_by_class(cls, K, cap=cap)
+        iota_c = jnp.arange(cap)
+        mask_all = (iota_c[None, :] < cnts[:, None]).astype(P.dtype)  # (K, cap)
+        nocs_parts = jnp.transpose(
+            pred["nocs_per_point"].reshape(N, K, 3), (1, 0, 2))      # (K, N, 3)
+        src_all = jnp.take_along_axis(nocs_parts, orders_c[:, :, None], axis=1)
+        src_all = src_all * mask_all[:, :, None]
+        tgt_all = P[orders_c] * mask_all[:, :, None]                 # (K, cap, 3)
     srcs = [src_all[j] for j in range(K)]
     tgts = [tgt_all[j] for j in range(K)]
     masks = [mask_all[j] for j in range(K)]

@@ -58,16 +58,33 @@ def main():
                         ransac_chunk=None)
     key = jax.random.PRNGKey(1)
 
-    # correctness first: new == legacy on the shared prefix
-    cls0 = jnp.argmax(W[0], -1)
-    o_leg, c_leg = legacy_partition(cls0, K)
-    o_new, c_new = partition_by_class(cls0, K, cap=1024)
-    assert np.array_equal(np.asarray(c_leg), np.asarray(c_new))
-    for j in range(K):
-        n = min(1024, int(c_leg[j]))
-        assert np.array_equal(np.asarray(o_leg)[j, :n],
-                              np.asarray(o_new)[j, :n]), j
-    print("parity: new partition == legacy on all valid prefixes")
+    # correctness first: new == legacy on the shared prefix, over ALL
+    # batch elements and multiple caps (a vmap- or shape-dependent
+    # divergence in the composite-key path must not pass; ADVICE r4)
+    for cap in (1024, 257, N):
+        for b in range(B):
+            cls_b = jnp.argmax(W[b], -1)
+            o_leg, c_leg = legacy_partition(cls_b, K)
+            o_new, c_new = partition_by_class(cls_b, K, cap=cap)
+            assert np.array_equal(np.asarray(c_leg), np.asarray(c_new))
+            for j in range(K):
+                n = min(cap, int(c_leg[j]))
+                assert np.array_equal(np.asarray(o_leg)[j, :n],
+                                      np.asarray(o_new)[j, :n]), (cap, b, j)
+        # and through vmap itself (the production call shape)
+        o_v, c_v = jax.vmap(lambda w: partition_by_class(
+            jnp.argmax(w, -1), K, cap=cap))(W)
+        o_l, c_l = jax.vmap(lambda w: legacy_partition(
+            jnp.argmax(w, -1), K))(W)
+        assert np.array_equal(np.asarray(c_v), np.asarray(c_l))
+        cnt = np.asarray(c_l)
+        for b in range(B):
+            for j in range(K):
+                n = min(cap, int(cnt[b, j]))
+                assert np.array_equal(np.asarray(o_l)[b, j, :n],
+                                      np.asarray(o_v)[b, j, :n]), (cap, b, j)
+    print(f"parity: new partition == legacy on all valid prefixes "
+          f"(all {B} frames, caps 257/1024/{N}, loop + vmap)")
 
     def timed(name, fn, *xs):
         @jax.jit

@@ -54,6 +54,18 @@ def test_dryrun_multichip_self_provisions_devices():
     assert "step ok" in proc.stdout
 
 
+def test_entry_lowers_single_chip():
+    """Fast default tier: trace + lower entry() to StableHLO (catches
+    shape/trace/kernel-construction errors).  The full backend compile
+    costs ~2 min on a 1-core CPU host and is covered twice elsewhere:
+    the slow variant below and the driver's own per-round compile
+    check."""
+    fn, args = graft.entry()
+    lowered = jax.jit(fn).lower(*args)
+    assert lowered.out_info is not None  # traced, shapes resolved
+
+
+@pytest.mark.slow
 def test_entry_compiles_single_chip():
     fn, args = graft.entry()
     out = jax.jit(fn).lower(*args).compile()
