@@ -36,6 +36,10 @@ class NetworkConfig:
     pred_joint_ind: bool = True
     early_split_nocs: bool = True
     dropout_rate: float = 0.5          # reference keep_prob=0.5
+    # backbone width preset: 'reference' (architectures.py:62-93 widths)
+    # or 'tiny' (same topology, trimmed widths — for CLI smokes and
+    # compile-bound CI on slow hosts; NOT a production recipe)
+    backbone_preset: str = "reference"
     # backbone compute dtype; params stay f32 either way.  float32 is the
     # measured training default (bf16 training collapsed accuracy AND ran
     # slower — the pipeline is gather-bound, not MXU-bound); bf16 is

@@ -160,6 +160,12 @@ def build_model(config) -> ANCSHModel:
     resolves back to XLA (models/pointnet2.py::resolve_impl).
     """
     impl = "pallas" if config.use_pallas else "xla"
+    widths = {}
+    if getattr(config, "backbone_preset", "reference") == "tiny":
+        # same topology, trimmed widths: CLI smokes / compile-bound CI
+        widths = dict(sa_npoints=(64, 32), sa_nsamples=(16, 16),
+                      sa_mlps=((16, 16), (16, 32)), global_mlp=(32, 64),
+                      fp_mlps=((32,), (32,), (16, 16)), head_width=16)
     return ANCSHModel(
         n_max_parts=config.n_max_parts,
         mixed=config.is_mixed,
@@ -168,7 +174,7 @@ def build_model(config) -> ANCSHModel:
         backbone_spec=BackboneSpec(dropout_rate=config.dropout_rate,
                                    fps_impl=impl, ball_query_impl=impl,
                                    ball_query_packed=config.ball_query_packed,
-                                   three_nn_impl=impl),
+                                   three_nn_impl=impl, **widths),
         dtype=jnp.dtype(config.compute_dtype),
         head_dtype=(None if config.head_compute_dtype is None
                     else jnp.dtype(config.head_compute_dtype)),

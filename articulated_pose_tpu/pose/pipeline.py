@@ -97,6 +97,13 @@ class PoseFitConfig:
     # 64 frames, full pose fit 10.33 -> 8.46 ms (scripts/
     # ab_buffer_builds.py, docs/perf_round5.md).
     buffer_build: str = "sort"
+    # joint-axis vote aggregator over the joint-associated points:
+    # 'median' (the reference's robust choice, parallel_ancsh_pose.py
+    # :295 — a (3, N) sort per joint, ~2 ms of the pose fit at B=64) or
+    # 'mean' (one masked reduce).  Keep 'median' unless the trained-
+    # checkpoint AND the 30%-flip noise A/Bs both measure flat
+    # (scripts/ab_pose_knobs_trained.py / ab_ransac_strength.py).
+    axis_agg: str = "median"
 
 
 def partition_by_class(cls: jax.Array, n_parts: int, cap: int | None = None):
@@ -213,6 +220,37 @@ def masked_median(x: jax.Array, mask: jax.Array) -> jax.Array:
     lo = (cnt - 1) // 2
     hi = cnt // 2
     return (v[:, lo] + v[:, hi]) / 2.0
+
+
+def vote_joint_axes(axis_pp: jax.Array, assocs: jax.Array,
+                    agg: str = "median") -> jax.Array:
+    """Per-joint axis vote over the joint-associated points.
+
+    axis_pp (N, 3) per-point axis predictions, assocs (J, N) {0,1}
+    association masks -> (J, 3) voted axes (reference: the per-joint
+    median of parallel_ancsh_pose.py:295).  agg='median' sorts a (3, N)
+    plane per joint (all J votes run as ONE vmapped sort); agg='mean'
+    is a single masked reduce, normalized to unit length because a mean
+    of unit vectors shrinks and the axis magnitude scales the joint-
+    consistency weight in the LM (lm.py Ma rows) — the median's
+    near-unit norm is what the incumbent feeds downstream.  Joints with
+    no associated points fall back to +z.
+    """
+    if agg == "mean":
+        def one(m):
+            cnt = jnp.sum(m)
+            v = jnp.sum(axis_pp * m[:, None], axis=0) / jnp.maximum(cnt, 1.0)
+            n = jnp.linalg.norm(v)
+            # empty or perfectly cancelling votes -> NaN so the +z
+            # fallback below catches it (a zero vector is finite)
+            return jnp.where((cnt > 0) & (n > 1e-6),
+                             v / jnp.maximum(n, 1e-6), jnp.nan)
+    else:
+        def one(m):
+            return masked_median(axis_pp, m)
+    axes = jax.vmap(one)(assocs)
+    return jnp.where(jnp.isfinite(axes), axes,
+                     jnp.array([0.0, 0.0, 1.0])[None, :])
 
 
 def _joint_ransac(key, src0, tgt0, m0, src1, tgt1, m1, jt_axis, cfg: PoseFitConfig,
@@ -351,11 +389,8 @@ def fit_frame(pred: Dict[str, jax.Array], P: jax.Array, key: jax.Array,
         if K > 1:
             assocs = jnp.stack(
                 [(assoc_cls == j).astype(P.dtype) for j in range(1, K)])
-            axes = jax.vmap(
-                lambda a: masked_median(pred["joint_axis_per_point"], a)
-            )(assocs)                                       # (K-1, 3)
-            axes = jnp.where(jnp.isfinite(axes), axes,
-                             jnp.array([0.0, 0.0, 1.0])[None, :])
+            axes = vote_joint_axes(pred["joint_axis_per_point"], assocs,
+                                   cfg.axis_agg)           # (K-1, 3)
 
         def joint_axis_for(j):
             return axes[j - 1]

@@ -32,10 +32,14 @@ from articulated_pose_tpu.train.state import make_optimizer
 class JointBaselineTrainer:
     """Minimal train/eval engine for DirectJointRegression."""
 
-    def __init__(self, cfg: NetworkConfig, work_dir: str):
+    def __init__(self, cfg: NetworkConfig, work_dir: str, model=None):
         self.cfg = cfg
         self.work_dir = work_dir
-        self.model = DirectJointRegression(n_max_parts=cfg.n_max_parts)
+        # injectable model: any module returning {"joint_params": [(axis,
+        # orth, dist), ...]} (tests drive the trainer mechanics with a
+        # tiny stub; production always uses DirectJointRegression)
+        self.model = model if model is not None else \
+            DirectJointRegression(n_max_parts=cfg.n_max_parts)
         self.tx = make_optimizer(cfg)
         self.params = None
         self.batch_stats = None

@@ -40,6 +40,8 @@ def build_config(args):
         overrides["batch_size"] = args.batch_size
     if args.num_points:
         overrides["num_points"] = args.num_points
+    if args.backbone != "reference":
+        overrides["backbone_preset"] = args.backbone
     cfg = load_config(args.config, **overrides)
     return cfg, spec
 
@@ -537,6 +539,12 @@ def main(argv=None):
                          "subsampled grid (get_full_test vs get_test_group)")
     ap.add_argument("--nocs", default="NPCS", choices=["NPCS", "NAOCS"],
                     help="pose-fit source space (NAOCS = gocs head)")
+    ap.add_argument("--backbone", default="reference",
+                    choices=["reference", "tiny"],
+                    help="backbone width preset: 'reference' mirrors the "
+                         "paper widths (architectures.py:62-93); 'tiny' "
+                         "keeps the topology at trimmed widths for CLI "
+                         "smokes / compile-bound CI hosts")
     ap.add_argument("--from_pred", default=None,
                     help="pose/eval: directory of per-frame prediction .h5 "
                          "files (written by `main.py test`) to evaluate "

@@ -111,9 +111,13 @@ def main():
     arm("niter_part=64", niter_part=64, niter_joint=64)
     arm("score_points=512", niter_part=128, niter_joint=64,
         ransac_score_points=512)
+    arm("axis_agg=mean", niter_part=128, niter_joint=64, axis_agg="mean")
     arm("ALL cheap (64/64 refit3 score512)",
         niter_part=64, niter_joint=64, lm_iters_refit=3,
         ransac_score_points=512)
+    arm("ALL cheap + axis mean",
+        niter_part=64, niter_joint=64, lm_iters_refit=3,
+        ransac_score_points=512, axis_agg="mean")
     arm("STRONG (1024/128 refit15)",
         niter_part=1024, niter_joint=128, lm_iters_hypo=8,
         lm_iters_refit=15)

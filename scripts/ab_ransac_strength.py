@@ -110,6 +110,10 @@ def main():
             (dict(ransac_score_points=256), "score_points=256"),
             (dict(lm_refit_points=256), "lm_refit_points=256"),
             (dict(part_points=512), "part_points=512"),
+            (dict(axis_agg="mean"), "axis_agg=mean"),
+            (dict(niter_part=64, niter_joint=32, lm_iters_refit=3,
+                  ransac_score_points=512, axis_agg="mean"),
+             "64/32 refit3 score512 mean (all cheap+mean)"),
         ]:
             b = dict(prod, niter_part=128, niter_joint=64)
             b.update(kw)

@@ -20,11 +20,12 @@ def run_cli(*args, timeout=900):
 
 def test_demo_smoke(tmp_path):
     """Ungated fast tier: main.py is exercised on every default run
-    (train 2 steps on the full model at tiny shapes; the train→eval→
-    serve round-trips live in TestCLI under RUN_SLOW)."""
+    (train 2 steps at --backbone tiny — full topology, trimmed widths;
+    the full-width train→eval→serve round-trips live in TestCLI under
+    RUN_SLOW)."""
     r = run_cli("demo", "--synthetic", "--max_steps", "2",
                 "--batch_size", "2", "--num_points", "128",
-                "--synthetic_frames", "4",
+                "--synthetic_frames", "4", "--backbone", "tiny",
                 "--work_dir", str(tmp_path / "work"))
     assert r.returncode == 0, r.stderr[-2000:]
     assert "final:" in r.stdout

@@ -67,7 +67,13 @@ class TestDeviceSynthetic:
                                    np.broadcast_to(np.eye(3), R.shape),
                                    atol=1e-5)
 
+    @pytest.mark.slow
     def test_fused_train_step(self, dev_gen):
+        # slow tier: a second full train-step compile (~50s on a 1-core
+        # host) whose unique coverage is the gen+step scan fusion — the
+        # step itself is covered fast by TestTrainStep, the generator by
+        # the other tests in this class, and the fused program runs on
+        # every driver dryrun and e2e sweep
         from articulated_pose_tpu.config import NetworkConfig
         from articulated_pose_tpu.data.device_synthetic import (
             make_fused_synthetic_train_step)

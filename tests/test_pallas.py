@@ -338,8 +338,15 @@ class TestButterflyBallQuery:
         np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
         np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
 
-    @pytest.mark.parametrize("packed", [False, True])
-    @pytest.mark.parametrize("emit_idx", [False, True])
+    # fast tier keeps the production combo (packed, no idx — the
+    # backbone inference path); the other three combos are each ~10-15s
+    # of interpret-mode compiles and run under RUN_SLOW
+    @pytest.mark.parametrize("packed,emit_idx", [
+        pytest.param(False, False, marks=pytest.mark.slow),
+        pytest.param(False, True, marks=pytest.mark.slow),
+        (True, False),
+        pytest.param(True, True, marks=pytest.mark.slow),
+    ])
     def test_transposed_matches_lane_variant(self, rng, packed, emit_idx):
         """Sublane-routing twin: bitwise-identical to the lane kernel."""
         from articulated_pose_tpu.ops.pallas import query_ball_group_pallas
@@ -442,9 +449,15 @@ def _bucket_oracle(xyz, q, radius, nsample):
     return grouped, cnt, idx
 
 
+@pytest.mark.slow
 class TestBucketBallQuery:
     """Bucket-sampled ball query (MXU segment-sum inference tier,
-    ops/pallas/ball_query_bucket.py) vs its NumPy oracle."""
+    ops/pallas/ball_query_bucket.py) vs its NumPy oracle.
+
+    Whole class slow: the bucket tier is a measured dead end kept
+    deliberately (8.5x slower than butterfly, docs/perf_round4.md) and
+    is selected by no production config — its ~30s of interpret-mode
+    oracle checks don't belong in the default tier."""
 
     @pytest.mark.parametrize("B,N,M,S,r", [(2, 256, 128, 32, 0.2),
                                            (1, 512, 128, 64, 0.4),

@@ -165,7 +165,12 @@ class TestPipeline:
             "index_per_point": jnp.asarray(index),
         }
 
-    @pytest.mark.parametrize("joint_types", [("revolute",), ("prismatic",)])
+    # revolute slow: ~43s of eager compiles on a 1-core host, and the
+    # fast tier keeps jitted revolute coverage with the same oracle
+    # assertions in test_fit_frame_batch below
+    @pytest.mark.parametrize("joint_types", [
+        pytest.param(("revolute",), marks=pytest.mark.slow),
+        ("prismatic",)])
     def test_fit_frame_oracle(self, joint_types):
         n_parts = 2
         gen = SyntheticArticulated(n_parts=n_parts, points_per_part=200,
@@ -208,9 +213,19 @@ class TestPipeline:
         for i in range(2):
             for j in range(n_parts):
                 s_gt, R_gt, t_gt = tr.decompose_similarity(gts[i].rt_nocs2cam[j])
-                R = np.asarray(out["baseline_R"][i, j])
-                assert tr.rot_diff_degree(R, R_gt) < 3.0
+                # oracle-accuracy assertions on BOTH stages (this is the
+                # fast tier's jitted revolute coverage; the eager
+                # single-frame oracle variant lives under RUN_SLOW)
+                for prefix in ("baseline", "nonlinear"):
+                    R = np.asarray(out[f"{prefix}_R"][i, j])
+                    assert tr.rot_diff_degree(R, R_gt) < 3.0, (prefix, i, j)
+                    np.testing.assert_allclose(
+                        float(out[f"{prefix}_s"][i, j]), s_gt, rtol=0.05)
+                    np.testing.assert_allclose(
+                        np.asarray(out[f"{prefix}_t"][i, j]), t_gt, atol=0.05)
 
+    @pytest.mark.slow  # cap property at a distinct static cfg (like its
+    # sibling test_part_points_cap below), ~10s of extra compiles
     def test_lm_refit_point_cap_still_accurate(self):
         """lm_refit_points slices the valid-first buffers; the capped
         refit must still recover the joint pose on clean data."""
@@ -469,6 +484,47 @@ class TestBisectionMedian:
         assert not np.isfinite(got).any()
 
 
+class TestVoteJointAxes:
+    """The per-joint axis vote (cfg.axis_agg): median == the reference's
+    per-joint median (parallel_ancsh_pose.py:295); mean == normalized
+    masked mean; both fall back to +z on empty/degenerate joints."""
+
+    def test_median_matches_numpy(self):
+        rng = np.random.RandomState(3)
+        ax = rng.randn(64, 3).astype(np.float32)
+        assoc = (rng.rand(2, 64) < 0.5).astype(np.float32)
+        got = np.asarray(pipeline.vote_joint_axes(
+            jnp.asarray(ax), jnp.asarray(assoc), "median"))
+        for j in range(2):
+            want = np.median(ax[assoc[j] > 0], axis=0)
+            np.testing.assert_allclose(got[j], want, atol=0)
+
+    def test_mean_is_normalized_masked_mean(self):
+        rng = np.random.RandomState(4)
+        ax = rng.randn(64, 3).astype(np.float32)
+        m = (rng.rand(64) < 0.6).astype(np.float32)
+        got = np.asarray(pipeline.vote_joint_axes(
+            jnp.asarray(ax), jnp.asarray(m)[None], "mean"))[0]
+        want = ax[m > 0].mean(0)
+        want = want / np.linalg.norm(want)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(np.linalg.norm(got), 1.0, rtol=1e-5)
+
+    @pytest.mark.parametrize("agg", ["median", "mean"])
+    def test_empty_joint_falls_back_to_z(self, agg):
+        ax = jnp.asarray(np.random.RandomState(0).randn(16, 3), jnp.float32)
+        got = np.asarray(pipeline.vote_joint_axes(
+            ax, jnp.zeros((1, 16)), agg))
+        np.testing.assert_allclose(got[0], [0.0, 0.0, 1.0], atol=0)
+
+    def test_mean_cancelling_votes_fall_back(self):
+        # two opposite unit vectors -> zero mean -> +z fallback, not 0/eps
+        ax = jnp.asarray([[1.0, 0, 0], [-1.0, 0, 0]], jnp.float32)
+        got = np.asarray(pipeline.vote_joint_axes(
+            ax, jnp.ones((1, 2)), "mean"))
+        np.testing.assert_allclose(got[0], [0.0, 0.0, 1.0], atol=0)
+
+
 class TestJointFromCorrespondences:
     """estimate_joint_from_correspondences synthetic round-trip — the
     reference's estimate_joint_HL self-test (lib/d3_utils.py:347-355):
@@ -547,10 +603,15 @@ class TestBatchedJoints:
             "index_per_point": jnp.asarray(index),
         }
 
+    # both variants slow: batch_joints is a NON-default knob (round-4
+    # A/B did not adopt it) and each parity run compiles fit_frame twice
+    # (~55-80s on a 1-core host); the default-tier pipeline coverage is
+    # TestPipeline with batch_joints=False
     @pytest.mark.parametrize("joint_types", [
         pytest.param(("revolute", "revolute"),
                      marks=pytest.mark.slow),  # ~80s compile (LM refit)
-        ("prismatic", "prismatic"),
+        pytest.param(("prismatic", "prismatic"),
+                     marks=pytest.mark.slow),
     ])
     def test_matches_sequential(self, joint_types):
         n_parts = 3

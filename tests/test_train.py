@@ -42,10 +42,22 @@ def tiny_setup(n_parts=3, batch=4, num_points=64, mixed=True):
     return cfg, model, state, batch_np
 
 
+@pytest.fixture(scope="module")
+def shared_step():
+    """One (cfg, model, state, batch, compiled step) shared by every
+    test in this module that doesn't need a different config: the ANCSH
+    train-step compile costs ~30s on a 1-core host, so the fast tier
+    pays it once (tests use the state functionally and never mutate the
+    fixture's copy).  batch=8 so the sharding tests can reuse it on the
+    data=4 mesh axis."""
+    cfg, model, state, batch = tiny_setup(batch=8)
+    step = make_train_step(cfg, donate=False)
+    return cfg, model, state, batch, step
+
+
 class TestTrainStep:
-    def test_loss_decreases(self):
-        cfg, model, state, batch = tiny_setup()
-        step = make_train_step(cfg, donate=False)
+    def test_loss_decreases(self, shared_step):
+        cfg, model, state, batch, step = shared_step
         rng = jax.random.PRNGKey(1)
         state, m0 = step(state, batch, rng)
         first = float(m0["total_loss"])
@@ -62,11 +74,10 @@ class TestTrainStep:
         assert "total_gocs_loss" not in m
         assert np.isfinite(float(m["total_loss"]))
 
-    def test_finite_grad_guard(self):
-        cfg, model, state, batch = tiny_setup(batch=2, num_points=32)
-        step = make_train_step(cfg, donate=False)
+    def test_finite_grad_guard(self, shared_step):
+        cfg, model, state, batch, step = shared_step
         bad = dict(batch)
-        bad["nocs_gt"] = batch["nocs_gt"] * np.nan
+        bad["nocs_gt"] = np.asarray(batch["nocs_gt"]) * np.nan
         params_before = jax.device_get(state.params)
         state2, m = step(state, bad, jax.random.PRNGKey(0))
         assert not bool(m["grads_finite"])
@@ -84,7 +95,12 @@ class TestTrainStep:
 
 
 class TestSharding:
+    @pytest.mark.slow
     def test_multichip_train_step(self):
+        # slow tier: strictly subsumed by
+        # test_sharded_step_matches_single_device (same shapes, same
+        # data=4,model=2 mesh, which also asserts numerical equality and
+        # now carries this test's shard-shape check)
         assert jax.device_count() >= 8, "conftest must force 8 CPU devices"
         from articulated_pose_tpu.parallel.mesh import make_mesh, shard_train_setup
 
@@ -99,7 +115,7 @@ class TestSharding:
         shard_shape = batch_dev["P"].sharding.shard_shape(batch_dev["P"].shape)
         assert shard_shape[0] == 2  # 8 / data-axis size 4
 
-    def test_sharded_step_matches_single_device(self):
+    def test_sharded_step_matches_single_device(self, shared_step):
         """dp×tp sharded train step == single-device step numerically.
 
         Same initial state, batch, and PRNG through (a) the plain jitted
@@ -111,11 +127,12 @@ class TestSharding:
         assert jax.device_count() >= 8
         from articulated_pose_tpu.parallel.mesh import make_mesh, shard_train_setup
 
-        cfg, model, state, batch = tiny_setup(batch=8, num_points=64)
+        # the module fixture's compiled plain step is the single-device
+        # reference (B=8 divides the data=4 mesh axis)
+        cfg, model, state, batch, step = shared_step
         # host-side copy so the donated sharded run can't alias the
         # single-device run's inputs
         state_host = jax.tree.map(np.asarray, jax.device_get(state))
-        step = make_train_step(cfg, donate=False)
         new1, m1 = step(state, batch, jax.random.PRNGKey(3))
 
         # apply_fn/tx are static (non-leaf) fields, preserved by tree.map
@@ -123,9 +140,13 @@ class TestSharding:
         mesh = make_mesh("data=4,model=2")
         sharded_step, placed, b_sh = shard_train_setup(
             make_train_step(cfg, jit=False), state2, mesh)
-        new2, m2 = sharded_step(placed, jax.device_put(batch, b_sh),
-                                jax.random.PRNGKey(3))
+        batch_dev = jax.device_put(batch, b_sh)
+        new2, m2 = sharded_step(placed, batch_dev, jax.random.PRNGKey(3))
 
+        # batch really is sharded over the data axis (from the subsumed
+        # test_multichip_train_step): each device holds B/4
+        shard_shape = batch_dev["P"].sharding.shard_shape(batch_dev["P"].shape)
+        assert shard_shape[0] == 2
         np.testing.assert_allclose(float(m1["total_loss"]),
                                    float(m2["total_loss"]),
                                    rtol=1e-5, atol=1e-6)
@@ -249,13 +270,38 @@ class TestJointBaselineTrainer:
     """Direct joint-regression baseline: loss decreases and eval runs."""
 
     def test_fit_smoke(self, tmp_path):
-        """Fast default tier: fit a few steps + checkpoint round-trip
-        (the evaluate() pose-metric compile lives in the slow variant)."""
+        """Fast default tier: trainer MECHANICS (fit loop, loss decrease,
+        msgpack checkpoint round-trip) on an injected tiny model — the
+        full DirectJointRegression train-step compile costs ~2 min on a
+        1-core host and is covered by the slow variant below plus the
+        RUN_SLOW CLI round-trip; its forward+loss stay fast-tier in
+        tests/test_aux.py::TestDirectJointRegression."""
+        import flax.linen as nn
+        import jax
+        import jax.numpy as jnp
+
         from articulated_pose_tpu.config import load_config
         from articulated_pose_tpu.data.batcher import BatchIterator
         from articulated_pose_tpu.data.synthetic import SyntheticArticulated
         from articulated_pose_tpu.train.joint_baseline import (
             JointBaselineTrainer)
+
+        class TinyJointReg(nn.Module):
+            n_max_parts: int = 3
+
+            @nn.compact
+            def __call__(self, P, *, train=False, bn_momentum=0.9):
+                x = jnp.mean(P, axis=1)                       # (B, 3)
+                x = nn.Dense(16)(x)
+                x = nn.BatchNorm(use_running_average=not train,
+                                 momentum=bn_momentum)(x)
+                x = nn.relu(x)
+                out = []
+                for _ in range(self.n_max_parts - 1):
+                    out.append((jnp.tanh(nn.Dense(3)(x)),
+                                jnp.tanh(nn.Dense(3)(x)),
+                                jax.nn.sigmoid(nn.Dense(1)(x))))
+                return {"joint_params": out}
 
         cfg = load_config(None, category="eyeglasses", batch_size=4,
                           num_points=128, n_max_parts=3)
@@ -265,12 +311,12 @@ class TestJointBaselineTrainer:
                   for _ in range(4)]
         it = BatchIterator(4, lambda i: frames[i], 4, shuffle=True, seed=0,
                            drop_last=True)
-        tr = JointBaselineTrainer(cfg, str(tmp_path))
+        tr = JointBaselineTrainer(cfg, str(tmp_path), model=TinyJointReg())
         tr.init(frames[0]["P"][None])
         first = tr.fit(it, max_steps=2)
         out = tr.fit(it, max_steps=20)
         assert out["total_loss"] < first["total_loss"]
-        tr2 = JointBaselineTrainer(cfg, str(tmp_path))
+        tr2 = JointBaselineTrainer(cfg, str(tmp_path), model=TinyJointReg())
         assert tr2.maybe_restore(frames[0]["P"][None]) == 20
 
     @pytest.mark.slow
