@@ -29,9 +29,16 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--points", type=int, default=1024)
     ap.add_argument("--noise", type=float, default=0.005)
+    ap.add_argument("--time-iters", type=int, default=0,
+                    help="if >0, also time each arm's fit_frame_batch in "
+                    "a fused scan window of this many iterations (chip "
+                    "milliseconds alongside the accuracy table)")
     args = ap.parse_args()
 
+    import time
+
     import jax
+    import jax.numpy as jnp
 
     from articulated_pose_tpu.config import NetworkConfig
     from articulated_pose_tpu.data.device_synthetic import DeviceSynthetic
@@ -78,10 +85,43 @@ def main():
         preds.append(pred)
         gts.append(jax.device_get(gt))
 
+    def time_arm(tag, pcfg):
+        """ms/batch for fit_frame_batch in one fused scan window (the
+        bench.py discipline: the dev tunnel's per-dispatch latency
+        swings too much for multi-dispatch timing)."""
+        batch0, pred0 = batches[0], preds[0]
+        inp = {kk: pred0[kk] for kk in ("W", "nocs_per_point",
+                                        "joint_axis_per_point",
+                                        "index_per_point")}
+
+        @jax.jit
+        def window(inp, P, key):
+            def body(acc, i):
+                k = jax.random.fold_in(key, i)
+                inp_i = jax.tree.map(
+                    lambda a: a + (1e-30 * acc).astype(a.dtype), inp)
+                out = fit_frame_batch(inp_i, P, k, pcfg)
+                return acc + jnp.sum(out["nonlinear_s"]
+                                     .astype(jnp.float32)), None
+            acc, _ = jax.lax.scan(body, jnp.ones((), jnp.float32),
+                                  jnp.arange(args.time_iters))
+            return acc
+
+        kt = jax.random.PRNGKey(11)
+        _ = float(window(inp, batch0["P"], kt))       # compile + warm
+        t0 = time.perf_counter()
+        _ = float(window(inp, batch0["P"], kt))
+        dt = (time.perf_counter() - t0) / args.time_iters
+        print(f"  [{tag}] pose fit {dt*1e3:8.3f} ms/batch "
+              f"(B={batch0['P'].shape[0]}, {args.time_iters} fused iters)",
+              flush=True)
+
     def arm(tag, **kw):
         base = dict(n_parts=K, joint_types=joint_types, ransac_chunk=None)
         base.update(kw)
         pcfg = PoseFitConfig(**base)
+        if args.time_iters > 0:
+            time_arm(tag, pcfg)
         fits, gt_l = [], []
         fk = jax.random.PRNGKey(7)
         for batch, pred, gt in zip(batches, preds, gts):
