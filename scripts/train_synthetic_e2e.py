@@ -111,12 +111,11 @@ def main():
     model = build_model(cfg)
     state = create_train_state(model, cfg, jax.random.PRNGKey(0),
                                np.zeros((1, args.points, 3), np.float32))
-    if args.resume:
-        from articulated_pose_tpu.train.trainer import Checkpointer
-        ck0 = Checkpointer(os.path.join(args.work, "model"))
-        if ck0.latest_step() is not None:
-            state = ck0.restore(state)
-            print(f"resumed from step {int(state.step)}", flush=True)
+    from articulated_pose_tpu.train.trainer import Checkpointer
+    ck = Checkpointer(os.path.join(args.work, "model"))
+    if args.resume and ck.latest_step() is not None:
+        state = ck.restore(state)
+        print(f"resumed from step {int(state.step)}", flush=True)
     window = max(1, args.steps_per_call)
     fused_step = make_fused_synthetic_train_step(cfg, dg, args.batch,
                                                  steps_per_call=window)
@@ -126,7 +125,12 @@ def main():
           flush=True)
     t0 = time.time()
     metrics = None
-    step = 0
+    step0 = step = int(state.step)
+    # mid-train snapshots: a dev-tunnel stall kills dispatches that run
+    # for tens of minutes, so never put more than ~snapshot_every steps
+    # at risk (--resume picks up from the last snapshot)
+    snapshot_every = 4000
+    last_snap = step
     while step < args.steps:
         state, metrics = fused_step(state, key)
         step += window
@@ -134,13 +138,15 @@ def main():
             m = {k: round(float(np.asarray(v)), 4)
                  for k, v in metrics.items() if k != "grads_finite"}
             print(f"step {step}: {json.dumps(m)}", flush=True)
+        if step - last_snap >= snapshot_every and step < args.steps:
+            ck.save(step, state)
+            last_snap = step
     jax.block_until_ready(metrics)
     train_s = time.time() - t0
-    print(f"trained {step} steps in {train_s:.1f}s "
-          f"({step * args.batch / train_s:.0f} clouds/s)", flush=True)
+    print(f"trained {step - step0} steps in {train_s:.1f}s "
+          f"({(step - step0) * args.batch / train_s:.0f} clouds/s)",
+          flush=True)
 
-    from articulated_pose_tpu.train.trainer import Checkpointer
-    ck = Checkpointer(os.path.join(args.work, "model"))
     ck.save(step, state)
     print("checkpointed to", args.work, flush=True)
 
