@@ -85,6 +85,17 @@ def main():
         preds.append(pred)
         gts.append(jax.device_get(gt))
 
+    # guard: garbage predictions mean every arm below measures nothing
+    # (this caught the round-5 checkpoint-save corruption: all arms sat
+    # at rot ~117° because the restored net segmented at 0.68)
+    seg = float(np.mean([
+        (np.argmax(np.asarray(p["W"]), -1)
+         == np.asarray(b["cls_gt"]).astype(int)).mean()
+        for p, b in zip(preds, batches)]))
+    print(f"prediction seg acc {seg:.4f} (expect ~the training run's "
+          "eval; if far below, the checkpoint does not match this "
+          "generator/seed)", flush=True)
+
     def time_arm(tag, pcfg):
         """ms/batch for fit_frame_batch in one fused scan window (the
         bench.py discipline: the dev tunnel's per-dispatch latency

@@ -28,6 +28,11 @@ def main():
                     help="round-4 arms: probe knobs BELOW the production "
                          "defaults (refit 3, 64/32 hypos, smaller scoring/"
                          "refit prefixes) for further free throughput")
+    ap.add_argument("--arms", default=None,
+                    help="comma list of substrings: run only --r4 arms "
+                         "whose tag matches (plus the control); each arm "
+                         "is a separate XLA compile, so filtering pays "
+                         "on slow hosts")
     args = ap.parse_args()
 
     import jax
@@ -98,6 +103,7 @@ def main():
         prod = dict(base, lm_iters_refit=6)
         evaluate(PoseFitConfig(niter_part=128, niter_joint=64, **prod),
                  "PROD 128/64 refit6 (control)")
+        wanted = (args.arms.split(",") if args.arms else None)
         for kw, tag in [
             (dict(lm_iters_refit=4), "refit=4"),
             (dict(lm_iters_refit=3), "refit=3"),
@@ -115,6 +121,8 @@ def main():
                   ransac_score_points=512, axis_agg="mean"),
              "64/32 refit3 score512 mean (all cheap+mean)"),
         ]:
+            if wanted is not None and not any(w in tag for w in wanted):
+                continue
             b = dict(prod, niter_part=128, niter_joint=64)
             b.update(kw)
             evaluate(PoseFitConfig(**b), f"R4 {tag}")

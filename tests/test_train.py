@@ -196,6 +196,32 @@ class TestTrainer:
         b = jax.tree.leaves(tr2.state.params)[0]
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
+    def test_save_payload_is_host_materialized(self, tmp_path, monkeypatch):
+        """Checkpointer.save must hand Orbax HOST (numpy) arrays, never
+        device jax.Arrays: Orbax's own background-thread device->host
+        transfers silently corrupted saved values through the tunneled
+        axon TPU runtime (round-5 finding — a checkpoint whose
+        in-process eval segmented at 0.96 restored to 0.68 on the same
+        frames; docs/perf_round5.md).  jax.device_get in save() is the
+        guard; this pins it."""
+        from articulated_pose_tpu.train.trainer import Checkpointer
+
+        cfg, model, state, batch = tiny_setup(batch=2, num_points=64)
+        ck = Checkpointer(str(tmp_path / "model"))
+        captured = {}
+        real_save = ck.mgr.save
+
+        def spy(step, args=None, **kw):
+            captured["leaves"] = jax.tree.leaves(getattr(args, "item", args))
+            return real_save(step, args=args, **kw)
+
+        monkeypatch.setattr(ck.mgr, "save", spy)
+        ck.save(0, state)
+        assert captured["leaves"], "spy saw no payload"
+        bad = [type(l).__name__ for l in captured["leaves"]
+               if isinstance(l, jax.Array)]
+        assert not bad, f"device arrays handed to Orbax: {bad}"
+
     def test_validate(self, tmp_path):
         from articulated_pose_tpu.train.trainer import Trainer
 
