@@ -148,6 +148,52 @@ class TestLM:
         assert tr.axis_diff_degree(a0, a1) < 0.5
 
 
+class TestBufferBuilds:
+    """sort-vs-gather part-buffer parity (the round-5 adopted default;
+    A/B'd bit-identical on chip in scripts/ab_buffer_builds.py — this
+    pins the equivalence in the suite)."""
+
+    @pytest.mark.parametrize("K,cap", [(2, 64), (3, 64), (3, 37), (3, 128)])
+    def test_sort_matches_gather(self, K, cap):
+        N = 128
+        rng = np.random.RandomState(K * 1000 + cap)
+        cls = jnp.asarray(rng.randint(0, K, N))
+        P = jnp.asarray(rng.rand(N, 3), jnp.float32)
+        nocs = jnp.asarray(rng.rand(N, 3 * K), jnp.float32)
+
+        src_s, tgt_s, mask_s, cnts_s = pipeline.build_part_buffers_sorted(
+            nocs, P, cls, K, cap)
+
+        orders, cnts_g = pipeline.partition_by_class(cls, K, cap=cap)
+        mask_g = (jnp.arange(cap)[None, :] < cnts_g[:, None]).astype(P.dtype)
+        nocs_parts = jnp.transpose(nocs.reshape(N, K, 3), (1, 0, 2))
+        src_g = jnp.take_along_axis(nocs_parts, orders[:, :, None], axis=1)
+        src_g = src_g * mask_g[:, :, None]
+        tgt_g = P[orders] * mask_g[:, :, None]
+
+        np.testing.assert_array_equal(np.asarray(cnts_s), np.asarray(cnts_g))
+        np.testing.assert_array_equal(np.asarray(mask_s), np.asarray(mask_g))
+        np.testing.assert_allclose(np.asarray(src_s), np.asarray(src_g))
+        np.testing.assert_allclose(np.asarray(tgt_s), np.asarray(tgt_g))
+
+    def test_sort_matches_gather_vmapped(self):
+        K, cap, N, B = 3, 64, 128, 5
+        rng = np.random.RandomState(9)
+        cls = jnp.asarray(rng.randint(0, K, (B, N)))
+        P = jnp.asarray(rng.rand(B, N, 3), jnp.float32)
+        nocs = jnp.asarray(rng.rand(B, N, 3 * K), jnp.float32)
+        s_s, t_s, m_s, c_s = jax.vmap(
+            lambda n, p, c: pipeline.build_part_buffers_sorted(
+                n, p, c, K, cap))(nocs, P, cls)
+        for b in range(B):
+            s_1, t_1, m_1, c_1 = pipeline.build_part_buffers_sorted(
+                nocs[b], P[b], cls[b], K, cap)
+            np.testing.assert_allclose(np.asarray(s_s[b]), np.asarray(s_1))
+            np.testing.assert_allclose(np.asarray(t_s[b]), np.asarray(t_1))
+            np.testing.assert_array_equal(np.asarray(c_s[b]),
+                                          np.asarray(c_1))
+
+
 class TestPipeline:
     def _perfect_pred(self, sample, n_parts):
         """Oracle predictions built from GT labels."""
