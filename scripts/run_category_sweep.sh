@@ -36,9 +36,11 @@ for row in "${SWEEP[@]}"; do
   read -r cat seed steps <<< "$row"
   work="/tmp/e2e_sweep_$cat"
   echo "=== $cat (seed $seed, $steps steps) ==="
+  # --resume: a fresh $work is unaffected; a rerun after a tunnel stall
+  # picks up from the last mid-train snapshot instead of restarting
   python scripts/train_synthetic_e2e.py \
     --category "$cat" --seed "$seed" --steps "$steps" \
-    --work "$work"
+    --work "$work" --resume
   cp "$work/report.json" "$OUTDIR/e2e_${cat}_report.json"
   [ $first -eq 0 ] && echo "," >> "$SUMMARY.tmp"
   first=0
