@@ -70,15 +70,17 @@ class Checkpointer:
 
         payload = {"params": state.params, "batch_stats": state.batch_stats,
                    "opt_state": state.opt_state, "step": state.step}
-        # Materialize on host (main thread) BEFORE handing to Orbax.
-        # Orbax's own device->host transfers run on a background thread,
-        # and through the tunneled axon TPU runtime that path silently
-        # corrupted saved values (measured 2026-08-20: a checkpoint whose
-        # in-process eval scored seg 0.96 restored to 0.68 on the same
-        # frames; raw-vs-template restores agreed, so the file content
-        # itself was wrong).  jax.device_get here is the same main-thread
-        # D2H path every eval/report uses, which has always been faithful.
-        payload = jax.device_get(payload)
+        # Materialize on host (main thread) BEFORE handing to Orbax, so
+        # the device->host transfer is the same jax.device_get path every
+        # eval/report uses rather than Orbax's own background-thread
+        # serialization.  Context (round 5, 2026-08-20): checkpoints
+        # written before a tunnel wedge/recovery evaluated degraded in
+        # fresh processes (seg 0.96 -> 0.68 on same-key frames), while
+        # same-process AND same-epoch cross-process round-trips measured
+        # bit-exact (max param/W delta 0.0) through both save paths —
+        # docs/perf_round5.md has the full bisection matrix.  Checkpoints
+        # should be consumed within the chip session-epoch that wrote
+        # them, or validated against saved eval frames.
         self.mgr.save(step, args=ocp.args.StandardSave(payload))
         self.mgr.wait_until_finished()
 

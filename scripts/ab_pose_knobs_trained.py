@@ -21,7 +21,18 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--work", required=True)
+    ap.add_argument("--work", default=None,
+                    help="checkpoint dir to restore (same-chip-epoch "
+                         "only: see --train-steps)")
+    ap.add_argument("--train-steps", type=int, default=0,
+                    help="if >0, TRAIN in-process for this many steps "
+                         "(sweep recipe) instead of restoring --work. "
+                         "Round-5 finding: checkpoints written before a "
+                         "tunnel wedge/recovery evaluate degraded in a "
+                         "fresh process (eyeglasses 0.9645 -> 0.68 seg "
+                         "on same-key frames) while same-process and "
+                         "same-epoch round-trips are bit-exact — so the "
+                         "A/B trains and measures in ONE process")
     ap.add_argument("--category", default="eyeglasses")
     ap.add_argument("--seed", type=int, default=1,
                     help="must match the generator seed of the training run")
@@ -56,19 +67,37 @@ def main():
     K = spec.n_parts
     joint_types = tuple(spec.joint_types)
     cfg = NetworkConfig(n_max_parts=K, num_points=args.points,
-                        batch_size=args.batch, val_interval=0,
-                        snapshot_interval=0)
+                        batch_size=args.batch, init_learning_rate=1e-3,
+                        decay_step=10**8, bn_decay_step=10**8,
+                        val_interval=0, snapshot_interval=0)
     model = build_model(cfg)
     state = create_train_state(model, cfg, jax.random.PRNGKey(0),
                                np.zeros((1, args.points, 3), np.float32))
-    ck = Checkpointer(os.path.join(args.work, "model"))
-    assert ck.latest_step() is not None, f"no checkpoint under {args.work}"
-    state = ck.restore(state)
-    print(f"restored step {int(state.step)} from {args.work}", flush=True)
-
     gen = SyntheticArticulated(n_parts=K, points_per_part=500,
                                joint_types=joint_types, seed=args.seed)
     dg = DeviceSynthetic(gen, num_points=args.points, noise=args.noise)
+    if args.train_steps > 0:
+        import time as _time
+
+        from articulated_pose_tpu.data.device_synthetic import (
+            make_fused_synthetic_train_step)
+        fused = make_fused_synthetic_train_step(cfg, dg, args.batch,
+                                                steps_per_call=25)
+        tkey = jax.random.PRNGKey(1)
+        t0 = _time.time()
+        metrics = None
+        while int(state.step) < args.train_steps:
+            state, metrics = fused(state, tkey)
+        jax.block_until_ready(metrics)
+        print(f"trained {int(state.step)} steps in-process "
+              f"({_time.time() - t0:.0f}s)", flush=True)
+    else:
+        assert args.work, "need --work or --train-steps"
+        ck = Checkpointer(os.path.join(args.work, "model"))
+        assert ck.latest_step() is not None, f"no checkpoint under {args.work}"
+        state = ck.restore(state)
+        print(f"restored step {int(state.step)} from {args.work}",
+              flush=True)
     eval_step = make_eval_step(cfg)
     sample_batch = jax.jit(lambda k, n: dg.sample_batch(k, n),
                            static_argnums=1)

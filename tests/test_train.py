@@ -198,12 +198,11 @@ class TestTrainer:
 
     def test_save_payload_is_host_materialized(self, tmp_path, monkeypatch):
         """Checkpointer.save must hand Orbax HOST (numpy) arrays, never
-        device jax.Arrays: Orbax's own background-thread device->host
-        transfers silently corrupted saved values through the tunneled
-        axon TPU runtime (round-5 finding — a checkpoint whose
-        in-process eval segmented at 0.96 restored to 0.68 on the same
-        frames; docs/perf_round5.md).  jax.device_get in save() is the
-        guard; this pins it."""
+        device jax.Arrays, so the device->host transfer is the
+        main-thread jax.device_get path every eval uses rather than
+        Orbax's background-thread serialization (round-5 hardening
+        during the cross-epoch checkpoint investigation —
+        docs/perf_round5.md).  This pins the device_get in save()."""
         from articulated_pose_tpu.train.trainer import Checkpointer
 
         cfg, model, state, batch = tiny_setup(batch=2, num_points=64)
