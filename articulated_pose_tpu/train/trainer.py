@@ -81,6 +81,7 @@ class Checkpointer:
         # docs/perf_round5.md has the full bisection matrix.  Checkpoints
         # should be consumed within the chip session-epoch that wrote
         # them, or validated against saved eval frames.
+        payload = jax.device_get(payload)
         self.mgr.save(step, args=ocp.args.StandardSave(payload))
         self.mgr.wait_until_finished()
 
